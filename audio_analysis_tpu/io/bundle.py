@@ -1,0 +1,124 @@
+"""
+The filesystem bundle contract shared with the C++ capture harness.
+
+Layout (recorder.hpp:102-126, bundle.py:9-16 in the reference):
+    <bundle_root>/
+      meta.json          {"sample_rate_hz": int, "length_samples": int,
+                          "taps": ["name", ...]}
+      taps/<name>.wav    stereo PCM16 interleaved
+
+This module reads/writes that contract and provides the batched loader that
+feeds the TPU engine: all taps padded into one (B, N_max, C) float32 array.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from audio_analysis_tpu.io import native
+from audio_analysis_tpu.io.wav import (
+    duplicate_mono_to_stereo,
+    ensure_2d_channel_array,
+    load_wav_file,
+    write_wav_pcm16,
+)
+
+
+@dataclass(frozen=True)
+class BundleMeta:
+    sample_rate_hz: int
+    length_samples: int
+    taps: List[str]
+
+
+def read_bundle_meta(bundle_root: str | Path) -> BundleMeta:
+    meta_path = Path(bundle_root) / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    return BundleMeta(
+        sample_rate_hz=int(meta.get("sample_rate_hz", 48000)),
+        length_samples=int(meta.get("length_samples", 0)),
+        taps=list(meta.get("taps", [])),
+    )
+
+
+def write_bundle(
+    bundle_root: str | Path,
+    taps: dict[str, np.ndarray],
+    sample_rate_hz: int,
+) -> Path:
+    """
+    Write a bundle in the recorder's format (taps are (N,) or (N,2) float32).
+    Useful for tests and synthetic workloads; the production producer is the
+    C++ AnalysisRecorder equivalent in cpp/recorder.hpp.
+    """
+    bundle_root = Path(bundle_root)
+    (bundle_root / "taps").mkdir(parents=True, exist_ok=True)
+
+    length = 0
+    for name, data in taps.items():
+        stereo = duplicate_mono_to_stereo(ensure_2d_channel_array(np.asarray(data)))
+        write_wav_pcm16(bundle_root / "taps" / f"{name}.wav", stereo, sample_rate_hz)
+        length = max(length, stereo.shape[0])
+
+    meta = {
+        "sample_rate_hz": int(sample_rate_hz),
+        "length_samples": int(length),
+        "taps": sorted(taps.keys()),
+    }
+    (bundle_root / "meta.json").write_text(json.dumps(meta, indent=2) + "\n")
+    return bundle_root
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def load_bundle_batch(
+    bundle_root: str | Path,
+    pad_multiple: int = 4096,
+    num_threads: int = 8,
+) -> Tuple[BundleMeta, np.ndarray, np.ndarray, List[str]]:
+    """
+    Load every tap of a bundle into one padded batch for the TPU engine.
+
+    Returns:
+      meta:     BundleMeta
+      batch:    (B, C=2, N_max) float32, zero-padded past each tap's length
+      lengths:  (B,) int32 valid sample counts
+      names:    tap names in batch order
+
+    N_max is rounded up to `pad_multiple` so repeated runs with slightly
+    different tap lengths reuse the same compiled program.
+    """
+    bundle_root = Path(bundle_root)
+    meta = read_bundle_meta(bundle_root)
+    paths = [bundle_root / "taps" / f"{t}.wav" for t in meta.taps]
+
+    if native.available():
+        lengths = []
+        for p in paths:
+            frames, _, rate = native.read_wav_info(p)
+            if rate != meta.sample_rate_hz:
+                raise ValueError(f"Tap {p} sample rate {rate} != bundle {meta.sample_rate_hz}")
+            lengths.append(frames)
+        n_max = _round_up(max(lengths) if lengths else pad_multiple, pad_multiple)
+        interleaved, length_arr = native.read_bundle(paths, n_max, 2, num_threads)
+        batch = np.ascontiguousarray(np.transpose(interleaved, (0, 2, 1)))
+        return meta, batch, length_arr.astype(np.int32), meta.taps
+
+    # scipy fallback: sequential decode
+    loaded = [
+        load_wav_file(p, meta.sample_rate_hz, "stereo", allow_mono_and_upmix_to_stereo=True)
+        for p in paths
+    ]
+    lengths = np.array([l.samples.shape[0] for l in loaded], dtype=np.int32)
+    n_max = _round_up(int(lengths.max()) if len(loaded) else pad_multiple, pad_multiple)
+    batch = np.zeros((len(loaded), 2, n_max), dtype=np.float32)
+    for i, l in enumerate(loaded):
+        batch[i, :, : l.samples.shape[0]] = l.samples.T
+    return meta, batch, lengths, meta.taps

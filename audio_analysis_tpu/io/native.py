@@ -1,0 +1,170 @@
+"""
+ctypes binding to the native C++ audio I/O runtime (cpp/audioio.cpp).
+
+The native library provides:
+- fast single-file WAV decode (PCM16/PCM24/PCM32/float32) to float32
+- multithreaded batched bundle decode: all taps of a bundle decoded in
+  parallel worker threads directly into one padded (B, N_max, C) buffer,
+  ready for device upload (the TPU-native replacement for the reference's
+  sequential per-tap scipy reads, bundle.py:56-68)
+- PCM16 WAV encode
+
+Falls back gracefully (available() -> False) when the library has not been
+built; all call sites must handle that by using the scipy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_CANDIDATES = [
+    Path(__file__).resolve().parents[2] / "cpp" / "build" / "libaudioio.so",
+    Path(__file__).resolve().parents[2] / "cpp" / "libaudioio.so",
+]
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    for candidate in _LIB_CANDIDATES:
+        if candidate.exists():
+            try:
+                lib = ctypes.CDLL(str(candidate))
+            except OSError:
+                continue
+            _configure(lib)
+            _lib = lib
+            break
+    return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.aa_read_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),  # frames
+        ctypes.POINTER(ctypes.c_int32),  # channels
+        ctypes.POINTER(ctypes.c_int32),  # sample rate
+    ]
+    lib.aa_read_wav_info.restype = ctypes.c_int32
+
+    lib.aa_read_wav_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),  # out (frames*channels interleaved)
+        ctypes.c_int64,  # capacity in floats
+    ]
+    lib.aa_read_wav_f32.restype = ctypes.c_int32
+
+    lib.aa_write_wav_pcm16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64,  # frames
+        ctypes.c_int32,  # channels
+        ctypes.c_int32,  # sample rate
+    ]
+    lib.aa_write_wav_pcm16.restype = ctypes.c_int32
+
+    lib.aa_read_bundle_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),  # paths
+        ctypes.c_int32,  # num files
+        ctypes.POINTER(ctypes.c_float),  # out (B, N_max, C) contiguous
+        ctypes.c_int64,  # N_max (frames)
+        ctypes.c_int32,  # C
+        ctypes.POINTER(ctypes.c_int64),  # out lengths per file
+        ctypes.c_int32,  # num threads
+    ]
+    lib.aa_read_bundle_f32.restype = ctypes.c_int32
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_wav_info(path: str | Path) -> Tuple[int, int, int]:
+    """Return (frames, channels, sample_rate_hz) without decoding samples."""
+    lib = _load()
+    assert lib is not None
+    frames = ctypes.c_int64(0)
+    channels = ctypes.c_int32(0)
+    rate = ctypes.c_int32(0)
+    rc = lib.aa_read_wav_info(
+        str(path).encode(), ctypes.byref(frames), ctypes.byref(channels), ctypes.byref(rate)
+    )
+    if rc != 0:
+        raise IOError(f"native WAV probe failed ({rc}): {path}")
+    return frames.value, channels.value, rate.value
+
+
+def read_wav(path: str | Path) -> Tuple[int, np.ndarray]:
+    """Decode a WAV file to float32. Returns (sample_rate_hz, (N,) or (N,C))."""
+    lib = _load()
+    assert lib is not None
+    frames, channels, rate = read_wav_info(path)
+    out = np.empty(frames * channels, dtype=np.float32)
+    rc = lib.aa_read_wav_f32(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(out.size),
+    )
+    if rc != 0:
+        raise IOError(f"native WAV decode failed ({rc}): {path}")
+    if channels > 1:
+        out = out.reshape(frames, channels)
+    return rate, out
+
+
+def write_wav_pcm16(path: str | Path, int16_samples: np.ndarray, sample_rate_hz: int) -> None:
+    lib = _load()
+    assert lib is not None
+    x = np.ascontiguousarray(int16_samples, dtype=np.int16)
+    if x.ndim == 1:
+        frames, channels = x.size, 1
+    else:
+        frames, channels = x.shape
+    rc = lib.aa_write_wav_pcm16(
+        str(path).encode(),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(frames),
+        ctypes.c_int32(channels),
+        ctypes.c_int32(sample_rate_hz),
+    )
+    if rc != 0:
+        raise IOError(f"native WAV encode failed ({rc}): {path}")
+
+
+def read_bundle(
+    paths: List[Path],
+    n_max: int,
+    channels: int,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Decode many WAVs in parallel into one zero-padded (B, N_max, C) float32
+    buffer. Returns (batch, lengths). Mono files are duplicated to C channels.
+    """
+    lib = _load()
+    assert lib is not None
+    num = len(paths)
+    out = np.zeros((num, n_max, channels), dtype=np.float32)
+    lengths = np.zeros(num, dtype=np.int64)
+    c_paths = (ctypes.c_char_p * num)(*[str(p).encode() for p in paths])
+    rc = lib.aa_read_bundle_f32(
+        c_paths,
+        ctypes.c_int32(num),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_max),
+        ctypes.c_int32(channels),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(num_threads),
+    )
+    if rc != 0:
+        raise IOError(f"native bundle decode failed ({rc})")
+    return out, lengths

@@ -1,0 +1,217 @@
+"""IO round-trips and signal-generator contracts (reference parity)."""
+
+import numpy as np
+import pytest
+
+from audio_analysis_tpu import signals as sig
+from audio_analysis_tpu.io import (
+    get_analysis_channels,
+    load_wav_file,
+    write_bundle,
+    read_bundle_meta,
+    load_bundle_batch,
+    write_wav_pcm16,
+    write_wav_float32,
+)
+from audio_analysis_tpu.io.wav import (
+    LoadedAudio,
+    convert_wav_samples_to_float32,
+    downmix_to_mono,
+    duplicate_mono_to_stereo,
+)
+
+
+def test_pcm16_scaling():
+    x = np.array([-32768, 0, 16384, 32767], dtype=np.int16)
+    f = convert_wav_samples_to_float32(x)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(f, [-1.0, 0.0, 0.5, 32767 / 32768], atol=1e-7)
+
+
+def test_pcm32_scaling_and_float_clip():
+    x = np.array([-(2**31), 2**30], dtype=np.int32)
+    np.testing.assert_allclose(convert_wav_samples_to_float32(x), [-1.0, 0.5], atol=1e-7)
+    y = np.array([-1.5, 0.25, 2.0], dtype=np.float64)
+    np.testing.assert_allclose(convert_wav_samples_to_float32(y), [-1.0, 0.25, 1.0])
+
+
+def test_channel_policies():
+    mono = LoadedAudio(np.zeros((10, 1), np.float32), 48000, None)
+    assert [n for n, _ in get_analysis_channels(mono)] == ["mono"]
+
+    stereo = LoadedAudio(
+        np.stack([np.ones(10), -np.ones(10)], axis=1).astype(np.float32), 48000, None
+    )
+    names = [n for n, _ in get_analysis_channels(stereo)]
+    assert names == ["left", "right"]
+    (nm, mixed), = get_analysis_channels(stereo, use_mono_downmix_for_stereo=True)
+    assert nm == "mono"
+    np.testing.assert_allclose(mixed, np.zeros(10))  # 0.5*(L+R)
+
+
+def test_up_down_mix():
+    mono = np.arange(4, dtype=np.float32)
+    st = duplicate_mono_to_stereo(mono)
+    assert st.shape == (4, 2)
+    np.testing.assert_allclose(st[:, 0], st[:, 1])
+    dm = downmix_to_mono(st)
+    assert dm.shape == (4, 1)
+    np.testing.assert_allclose(dm[:, 0], mono)
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(4800) / 48000)).astype(np.float32)
+    p = tmp_path / "tone.wav"
+    write_wav_pcm16(p, np.stack([x, x], axis=1), 48000)
+    loaded = load_wav_file(p, expected_channel_mode="stereo")
+    assert loaded.sample_rate_hz == 48000
+    assert loaded.samples.shape == (4800, 2)
+    # write scales by 32767 with truncation, read scales by 32768 (reference
+    # convention, gen/cli.py:74-78 vs io.py:58-59) -> up to ~2 LSB of error
+    np.testing.assert_allclose(loaded.samples[:, 0], x, atol=2.5 / 32767)
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    x = np.random.default_rng(0).standard_normal((1000, 2)).astype(np.float32) * 0.1
+    p = tmp_path / "f32.wav"
+    write_wav_float32(p, x, 48000)
+    loaded = load_wav_file(p, expected_channel_mode="mono_or_stereo")
+    np.testing.assert_allclose(loaded.samples, x, atol=1e-7)
+
+
+def test_load_validates_sample_rate(tmp_path):
+    p = tmp_path / "sr.wav"
+    write_wav_pcm16(p, np.zeros(100, np.float32), 44100)
+    with pytest.raises(ValueError, match="sample rate"):
+        load_wav_file(p, expected_sample_rate_hz=48000, expected_channel_mode="mono_or_stereo")
+
+
+def test_mono_upmix_on_load(tmp_path):
+    p = tmp_path / "m.wav"
+    write_wav_pcm16(p, np.ones(64, np.float32) * 0.25, 48000)
+    loaded = load_wav_file(p, expected_channel_mode="stereo", allow_mono_and_upmix_to_stereo=True)
+    assert loaded.samples.shape == (64, 2)
+
+
+def test_bundle_roundtrip(tmp_path):
+    taps = {
+        "tap_a": np.linspace(-0.5, 0.5, 3000).astype(np.float32),
+        "tap_b": np.zeros((2000, 2), dtype=np.float32),
+    }
+    root = write_bundle(tmp_path / "run", taps, 48000)
+    meta = read_bundle_meta(root)
+    assert meta.taps == ["tap_a", "tap_b"]
+    assert meta.sample_rate_hz == 48000
+    assert meta.length_samples == 3000
+
+    meta2, batch, lengths, names = load_bundle_batch(root, pad_multiple=1024)
+    assert batch.shape[0] == 2 and batch.shape[1] == 2
+    assert batch.shape[2] % 1024 == 0
+    assert list(lengths) == [3000, 2000]
+    # padding is zero
+    assert np.all(batch[0, :, 3000:] == 0.0)
+
+
+# ----------------------------------------------------------------------------
+# signals
+# ----------------------------------------------------------------------------
+
+
+def test_impulse_and_click():
+    imp = sig.generate_impulse(48000, impulse_sample_index=5, total_duration_seconds=0.01)
+    assert imp.samples.shape == (480,)
+    assert imp.samples[5] == 1.0 and np.count_nonzero(imp.samples) == 1
+
+    click = sig.generate_click(48000, 0.001, "hann")
+    assert click.samples.shape == (48,)
+    assert abs(float(np.max(np.abs(click.samples))) - 0.95) < 1e-6
+
+
+def test_noise_seeded_deterministic():
+    a = sig.generate_noise(48000, 0.1, "white", random_seed=3).samples
+    b = sig.generate_noise(48000, 0.1, "white", random_seed=3).samples
+    c = sig.generate_noise(48000, 0.1, "white", random_seed=4).samples
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_pink_noise_spectrum_slope():
+    """Pink noise: power should fall ~3 dB/octave (1/f)."""
+    x = sig.generate_noise(48000, 2.0, "pink", random_seed=0).samples.astype(np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(x.size, 1 / 48000)
+
+    def band_power(lo, hi):
+        m = (freqs >= lo) & (freqs < hi)
+        return float(np.mean(spec[m]))
+
+    p1 = band_power(100, 200)
+    p2 = band_power(1600, 3200)
+    ratio_db = 10 * np.log10(p1 / p2)
+    assert 9.0 < ratio_db < 15.0  # 4 octaves * 3 dB = 12 dB expected
+
+
+def test_log_sweep_phase_matches_analytic():
+    sr, dur, f0, f1 = 48000, 1.0, 20.0, 20000.0
+    sw = sig.generate_log_sine_sweep(sr, dur, f0, f1, amplitude=0.5, fade_duration_seconds=0.0)
+    n = sw.samples.size
+    t = np.arange(n) / sr
+    c = dur / np.log(f1 / f0)
+    expected = 0.5 * np.sin(2 * np.pi * f0 * c * (np.exp(t / c) - 1.0))
+    expected -= expected.mean()
+    np.testing.assert_allclose(sw.samples, expected.astype(np.float32), atol=2e-6)
+
+
+def test_log_sweep_padding():
+    sw = sig.generate_log_sine_sweep(
+        48000, 0.5, pre_silence_seconds=0.1, post_silence_seconds=0.2
+    )
+    assert sw.samples.size == int(0.8 * 48000)
+    assert np.all(sw.samples[: 4800] == 0.0)
+    assert np.all(sw.samples[-9600:] == 0.0)
+
+
+def test_karplus_strong_matches_python_loop():
+    """lax.scan output must equal a direct Python implementation of the recurrence."""
+    sr, freq, total = 48000, 1000.0, 2000
+    delay_len = max(2, int(round(sr / freq)))
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(delay_len).astype(np.float32)
+    spec = np.fft.rfft(noise)
+    fr = np.fft.rfftfreq(delay_len, 1 / sr)
+    spec[fr > 8000.0] = 0.0
+    init = np.fft.irfft(spec, n=delay_len).astype(np.float32)
+
+    decay, blend = np.float32(0.996), np.float32(0.5)
+    buf = init.copy()
+    prev = buf[-1]
+    idx = 0
+    expected = np.zeros(total, dtype=np.float32)
+    for i in range(total):
+        cur = buf[idx]
+        avg = np.float32(0.5) * (prev + cur)
+        filtered = (np.float32(1.0) - blend) * cur + blend * avg
+        buf[idx] = decay * filtered
+        expected[i] = cur
+        prev = cur
+        idx = (idx + 1) % delay_len
+
+    from audio_analysis_tpu.signals.jaxgen import karplus_strong_scan
+
+    got = karplus_strong_scan(init, total, 0.996, 0.5)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_karplus_pitch():
+    """The KS output should have a strong component near the fundamental."""
+    out = sig.generate_karplus_strong_pluck(48000, 440.0, 0.5, random_seed=1)
+    spec = np.abs(np.fft.rfft(out.samples * np.hanning(out.samples.size)))
+    freqs = np.fft.rfftfreq(out.samples.size, 1 / 48000)
+    spec[freqs < 100.0] = 0.0  # the KS loop sustains DC; ignore it
+    peak = freqs[np.argmax(spec)]
+    fundamental = 48000 / round(48000 / 440.0)
+    # The spectral peak must sit on a harmonic of the delay-line pitch
+    # (which harmonic dominates depends on the excitation noise seed).
+    harmonic_offset = abs(peak / fundamental - round(peak / fundamental)) * fundamental
+    assert round(peak / fundamental) >= 1
+    assert harmonic_offset < 12.0
