@@ -1,0 +1,91 @@
+"""
+Batched STFT magnitude — the single shared time-frequency kernel.
+
+The reference re-implements a frame-by-frame Python-loop STFT in three
+modules and recomputes it three times per report (spectrogram.py:107-160,
+waterfall.py:188-230, modalcloud.py:121-158). Here framing is one gather,
+the FFT is one batched rfft over every (tap, channel, frame) at once, and
+spectrogram / waterfall / modal cloud all consume the same array.
+
+Conventions match the reference: "valid" framing T = 1 + (N - n_fft)//hop,
+symmetric Hann window, magnitude floored before dB, frame times at the
+window start.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_analysis_tpu.ops.common import db_from_magnitude
+
+
+class StftResult(NamedTuple):
+    mag_db: jnp.ndarray  # (..., T, F) float32
+    num_frames: jnp.ndarray  # (...,) int32 frames fully inside the valid length
+    # Static helpers (host-known): frame count T and bin count F are shapes.
+
+
+def num_frames_static(n: int, n_fft: int, hop: int) -> int:
+    if n < n_fft:
+        return 0
+    return 1 + (n - n_fft) // hop
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(..., N) -> (..., T, n_fft) via a strided gather (XLA fuses this)."""
+    t = num_frames_static(x.shape[-1], n_fft, hop)
+    starts = jnp.arange(t, dtype=jnp.int32) * hop
+    idx = starts[:, None] + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+def hann_window(n_fft: int) -> np.ndarray:
+    """Symmetric Hann, identical to np.hanning(n_fft)."""
+    return np.hanning(n_fft).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "use_hann_window", "floor_db"))
+def stft_mag_db(
+    x: jnp.ndarray,
+    length: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    use_hann_window: bool = True,
+    floor_db: float = -120.0,
+) -> StftResult:
+    """
+    x: (..., N) analysis segment starting at index 0, zeros past `length`.
+    Returns mag_db (..., T, F) where frames beyond the valid region are set
+    to floor_db, plus the per-element valid frame count
+    (= 1 + (length - n_fft)//hop, clipped at 0).
+    """
+    window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
+        (n_fft,), dtype=jnp.float32
+    )
+
+    frames = frame_signal(x, n_fft, hop) * window
+    spectrum = jnp.fft.rfft(frames, axis=-1)
+    mag_db = db_from_magnitude(jnp.abs(spectrum).astype(jnp.float32), floor_db)
+
+    t = mag_db.shape[-2]
+    frame_valid = (
+        jnp.arange(t, dtype=jnp.int32) * hop + n_fft <= length[..., None]
+    )
+    mag_db = jnp.where(frame_valid[..., None], mag_db, floor_db)
+
+    num_frames = jnp.sum(frame_valid, axis=-1).astype(jnp.int32)
+    return StftResult(mag_db, num_frames)
+
+
+def frame_times_seconds(t: int, hop: int, sample_rate_hz: int) -> np.ndarray:
+    """Host-side frame-start times (spectrogram.py:158)."""
+    return (np.arange(t, dtype=np.float32) * hop / float(sample_rate_hz)).astype(np.float32)
+
+
+def rfft_freqs_hz(n_fft: int, sample_rate_hz: int) -> np.ndarray:
+    return np.fft.rfftfreq(n_fft, d=1.0 / float(sample_rate_hz)).astype(np.float32)
