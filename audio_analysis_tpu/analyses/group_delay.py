@@ -1,0 +1,176 @@
+"""
+Group delay vs frequency from an IR/filter output.
+
+Parity with analyse/group_delay.py: gd(w) = -dphi/dw in samples from the
+unwrapped rfft phase (group_delay.py:109-125), FFT next-pow2 capped at 2^20
+(group_delay.py:103-105), optional bin smoothing, one plot per channel
+`<basename>_groupdelay_<CH>.png`, and the median/p10/p90 summary
+(group_delay.py:210-220).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import matplotlib.ticker as mticker
+import numpy as np
+
+from audio_analysis_tpu.analyses._common import load_channels, suffixed_png
+from audio_analysis_tpu.ops import spectral, trim
+from audio_analysis_tpu.ops.common import next_pow2
+from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
+
+_MAX_FFT = 1 << 20
+
+
+@dataclass(frozen=True)
+class GroupDelayAnalysisSettings:
+    use_mono_downmix_for_stereo: bool = False
+    trim_to_peak: bool = True
+    ignore_leading_seconds: float = 0.0
+    analysis_duration_seconds: Optional[float] = None
+    use_hann_window: bool = True
+    fft_size: Optional[int] = None  # None -> next pow2 >= segment length (capped 2^20)
+    f_min_hz: float = 20.0
+    f_max_hz: float = 20000.0
+    unwrap_phase: bool = True
+    smoothing_bins: int = 0
+
+
+@dataclass(frozen=True)
+class GroupDelayPlotSettings:
+    secondary_channel_alpha: float = 0.7
+    ylim_samples: Optional[Tuple[float, float]] = None
+    show_zero_line: bool = True
+
+
+@dataclass(frozen=True)
+class ChannelGroupDelayResult:
+    channel_name: str
+    sample_rate_hz: int
+    frequency_hz: np.ndarray
+    group_delay_samples: np.ndarray
+
+
+def analyse_group_delay_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: GroupDelayAnalysisSettings,
+) -> ChannelGroupDelayResult:
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.analyses._common import pad_to_bucket
+
+    x, length = pad_to_bucket(samples)
+    aligned = trim.align_for_analysis(
+        x,
+        length,
+        sample_rate_hz,
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+
+    if settings.fft_size is None:
+        n_fft = min(x.shape[-1], _MAX_FFT)
+    else:
+        n_fft = int(settings.fft_size)
+
+    if n_fft != x.shape[-1]:
+        # cap runtime for very long tails: truncate/pad the aligned segment
+        seg = np.zeros((1, n_fft), dtype=np.float32)
+        host = np.asarray(aligned.samples)[0]
+        take = min(n_fft, host.size)
+        seg[0, :take] = host[:take]
+        new_len = np.minimum(np.asarray(aligned.length), take).astype(np.int32)
+        aligned = trim.AlignedSignal(
+            jnp.asarray(seg), jnp.asarray(new_len), aligned.start_index
+        )
+
+    r = spectral.group_delay(
+        aligned.samples,
+        aligned.length,
+        sample_rate_hz,
+        use_hann_window=settings.use_hann_window,
+        unwrap=settings.unwrap_phase,
+        smoothing_bins=int(settings.smoothing_bins),
+        f_min_hz=float(settings.f_min_hz),
+        f_max_hz=float(settings.f_max_hz),
+    )
+
+    freq_hz = np.fft.rfftfreq(n_fft, d=1.0 / sample_rate_hz)
+    sel = (freq_hz >= settings.f_min_hz) & (freq_hz <= settings.f_max_hz)
+    return ChannelGroupDelayResult(
+        channel_name=channel_name,
+        sample_rate_hz=int(sample_rate_hz),
+        frequency_hz=freq_hz[sel].astype(np.float64),
+        group_delay_samples=np.asarray(r.group_delay_samples)[0][sel].astype(np.float64),
+    )
+
+
+def analyse_group_delay_from_wav_file(
+    input_wav_file_path: str | Path,
+    settings: Optional[GroupDelayAnalysisSettings] = None,
+) -> List[ChannelGroupDelayResult]:
+    if settings is None:
+        settings = GroupDelayAnalysisSettings()
+    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return [
+        analyse_group_delay_for_channel(ch_samples, sr, ch_name, settings)
+        for ch_name, ch_samples in channels
+    ]
+
+
+def plot_group_delay_from_wav_file(
+    input_wav_file_path: str | Path,
+    settings: Optional[GroupDelayAnalysisSettings] = None,
+    plot_settings: Optional[GroupDelayPlotSettings] = None,
+    output_basename: Optional[str | Path] = None,
+    show_interactive: bool = True,
+) -> List[ChannelGroupDelayResult]:
+    if settings is None:
+        settings = GroupDelayAnalysisSettings()
+    if plot_settings is None:
+        plot_settings = GroupDelayPlotSettings()
+
+    results = analyse_group_delay_from_wav_file(input_wav_file_path, settings)
+
+    for result in results:
+        fig, ax = create_figure_and_axis(title=f"Group delay ({result.channel_name})")
+        ax.plot(result.frequency_hz, result.group_delay_samples)
+        ax.set_xscale("log")
+        ax.set_xlabel("Frequency (Hz)")
+        ax.set_ylabel("Group delay (samples)")
+        ax.xaxis.set_major_formatter(mticker.ScalarFormatter())
+        ax.xaxis.set_minor_formatter(mticker.NullFormatter())
+        if plot_settings.show_zero_line:
+            ax.axhline(0.0, linestyle="--", linewidth=1.0)
+        if plot_settings.ylim_samples is not None:
+            ax.set_ylim(*plot_settings.ylim_samples)
+
+        output_path = (
+            None
+            if output_basename is None
+            else suffixed_png(output_basename, f"_groupdelay_{result.channel_name}")
+        )
+        finalize_and_show_or_save(fig, output_path, show_interactive)
+
+    return results
+
+
+def summarise_group_delay_results_text(results: List[ChannelGroupDelayResult]) -> str:
+    lines: List[str] = []
+    for r in results:
+        gd = r.group_delay_samples
+        if gd.size == 0:
+            continue
+        lines.append(
+            f"- {r.channel_name}: gd median={float(np.median(gd)):.3f} samples, "
+            f"p10={float(np.percentile(gd, 10)):.3f}, p90={float(np.percentile(gd, 90)):.3f}"
+        )
+    if not lines:
+        return "No group delay results."
+    return "Group delay summary:\n" + "\n".join(lines)

@@ -1,0 +1,145 @@
+"""
+Impulse-response waveform views.
+
+Parity with analyse/impulse_response.py: full waveform, early zoom
+(default 80 ms) and abs-magnitude dB tail plot; writes `<basename>.png`,
+`<basename>_early.png`, `<basename>_tail.png` (impulse_response.py:197-239).
+Pure host-side plotting — there is no device compute to speak of.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from audio_analysis_tpu.io import LoadedAudio, get_analysis_channels, load_wav_file
+from audio_analysis_tpu.plot import (
+    create_figure_and_axis,
+    finalize_and_show_or_save,
+    label_amplitude_axis,
+    label_decibel_axis,
+    label_time_axis_seconds,
+    time_axis_from_sample_count,
+)
+
+
+@dataclass(frozen=True)
+class ImpulseResponseViewSettings:
+    early_window_seconds: float = 0.08
+    log_magnitude_floor_db: float = -120.0
+    use_mono_downmix: bool = False
+
+
+def compute_log_magnitude(samples: np.ndarray) -> np.ndarray:
+    """Magnitude envelope for log plotting (plain abs)."""
+    return np.abs(samples).astype(np.float32)
+
+
+def _suffix_output_path(output_path: str | Path, suffix: str) -> Path:
+    output_path = Path(output_path)
+    return output_path.with_name(f"{output_path.stem}{suffix}{output_path.suffix}")
+
+
+def plot_impulse_response_waveform(
+    loaded_audio: LoadedAudio,
+    settings: ImpulseResponseViewSettings,
+    output_path: Optional[str | Path] = None,
+    show_interactive: bool = True,
+) -> None:
+    total = loaded_audio.samples.shape[0]
+    sr = loaded_audio.sample_rate_hz
+    time_axis = time_axis_from_sample_count(total, sr)
+
+    channels = get_analysis_channels(loaded_audio, settings.use_mono_downmix)
+    plot_channels = [
+        (name, samples, 1.0 if idx == 0 else 0.5)
+        for idx, (name, samples) in enumerate(channels)
+    ]
+
+    # full waveform
+    figure, axis = create_figure_and_axis(
+        title=f"Waveform (full) - {loaded_audio.file_path.name}"
+    )
+    for name, samples, alpha in plot_channels:
+        axis.plot(time_axis, samples, label=name, alpha=alpha)
+    axis.legend(loc="best")
+    label_time_axis_seconds(axis)
+    label_amplitude_axis(axis)
+    finalize_and_show_or_save(figure, output_path, show_interactive)
+
+    # early zoom
+    early_n = max(1, min(int(round(settings.early_window_seconds * sr)), total))
+    figure, axis = create_figure_and_axis(
+        title=(
+            f"Waveform (early {settings.early_window_seconds * 1000:.0f} ms) - "
+            f"{loaded_audio.file_path.name}"
+        )
+    )
+    for name, samples, alpha in plot_channels:
+        axis.plot(time_axis[:early_n], samples[:early_n], label=name, alpha=alpha)
+    axis.legend(loc="best")
+    label_time_axis_seconds(axis)
+    label_amplitude_axis(axis)
+    finalize_and_show_or_save(
+        figure,
+        None if output_path is None else _suffix_output_path(output_path, "_early"),
+        show_interactive,
+    )
+
+
+def plot_impulse_response_log_magnitude(
+    loaded_audio: LoadedAudio,
+    settings: ImpulseResponseViewSettings,
+    output_path: Optional[str | Path] = None,
+    show_interactive: bool = True,
+) -> None:
+    total = loaded_audio.samples.shape[0]
+    sr = loaded_audio.sample_rate_hz
+    time_axis = time_axis_from_sample_count(total, sr)
+
+    channels = get_analysis_channels(loaded_audio, settings.use_mono_downmix)
+
+    figure, axis = create_figure_and_axis(
+        title=f"Log magnitude (tail) - {loaded_audio.file_path.name}"
+    )
+    floor_db = float(settings.log_magnitude_floor_db)
+    for idx, (name, samples) in enumerate(channels):
+        alpha = 1.0 if idx == 0 else 0.5
+        magnitude = np.maximum(compute_log_magnitude(samples), 10.0 ** (floor_db / 20.0))
+        axis.plot(time_axis, 20.0 * np.log10(magnitude), alpha=alpha, label=name)
+    axis.set_ylim(bottom=floor_db)
+    label_time_axis_seconds(axis)
+    label_decibel_axis(axis)
+    if not settings.use_mono_downmix:
+        axis.legend()
+    finalize_and_show_or_save(figure, output_path, show_interactive)
+
+
+def plot_ir_from_wav_file(
+    wav_file_path: str | Path,
+    settings: Optional[ImpulseResponseViewSettings] = None,
+    output_basename: Optional[str | Path] = None,
+    show_interactive: bool = True,
+) -> None:
+    """Writes <basename>.png, <basename>_early.png, <basename>_tail.png."""
+    if settings is None:
+        settings = ImpulseResponseViewSettings()
+
+    loaded = load_wav_file(
+        wav_file_path,
+        expected_channel_mode="mono_or_stereo",
+        allow_mono_and_upmix_to_stereo=False,
+    )
+
+    if output_basename is None:
+        waveform_path = tail_path = None
+    else:
+        base = Path(output_basename)
+        waveform_path = base.with_suffix(".png")
+        tail_path = base.with_name(f"{base.stem}_tail.png")
+
+    plot_impulse_response_waveform(loaded, settings, waveform_path, show_interactive)
+    plot_impulse_response_log_magnitude(loaded, settings, tail_path, show_interactive)

@@ -1,0 +1,307 @@
+"""
+Modal cloud: per-log-frequency-bin RT60 estimates from STFT decay.
+
+Parity with analyse/modalcloud.py: n_fft 8192 STFT, geometric log bins
+(24/oct) aggregated by linear-magnitude mean (modalcloud.py:176-207),
+per-bin decay curves normalised to their own peak, the same crossing +
+line-fit per bin (min 10 points, peak >= 20 dB above floor,
+modalcloud.py:349-380), scatter + sliding-median curve, one PNG per channel
+`<basename>_modalcloud_<CH>.png`, summary format (modalcloud.py:557-567).
+
+TPU-first: aggregation is one matmul and ALL bin fits evaluate as one
+batched dbfit call — the reference loops ~190 per-bin lstsq fits in Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
+from audio_analysis_tpu.ops import dbfit, logfreq, stft, trim
+from audio_analysis_tpu.plot import (
+    apply_log_hz_xaxis,
+    create_figure_and_axis,
+    finalize_and_show_or_save,
+)
+
+
+@dataclass(frozen=True)
+class ModalCloudAnalysisSettings:
+    use_mono_downmix_for_stereo: bool = False
+    trim_to_peak: bool = True
+    ignore_leading_seconds: float = 0.0
+    analysis_duration_seconds: Optional[float] = None
+    n_fft: int = 8192
+    hop_length: int = 512
+    use_hann_window: bool = True
+    f_min_hz: float = 20.0
+    f_max_hz: float = 20000.0
+    log_bins_per_octave: int = 24
+    min_bins: int = 24
+    floor_db: float = -120.0
+    fit_lower_limit_db: float = -80.0
+    t30_range_db: Tuple[float, float] = (-5.0, -35.0)
+    t20_range_db: Tuple[float, float] = (-5.0, -25.0)
+    edt_range_db: Tuple[float, float] = (0.0, -10.0)
+    metric: str = "t30"  # "t30" | "t20" | "edt"
+    min_fit_points: int = 10
+    min_peak_db_above_floor: float = 20.0
+
+
+@dataclass(frozen=True)
+class ModalCloudPlotSettings:
+    secondary_channel_alpha: float = 0.7
+    show_median_curve: bool = True
+    median_octave_window: float = 0.25
+    ylim_seconds: Optional[Tuple[float, float]] = None
+
+
+@dataclass(frozen=True)
+class ModalPoint:
+    centre_hz: float
+    rt60_seconds: float
+    r_squared: float
+
+
+@dataclass(frozen=True)
+class ChannelModalCloudResult:
+    channel_name: str
+    sample_rate_hz: int
+    analysis_start_sample_index: int
+    analysis_length_samples: int
+    metric: str
+    points: List[ModalPoint]
+
+
+def _metric_range(settings: ModalCloudAnalysisSettings) -> Tuple[str, Tuple[float, float]]:
+    metric = str(settings.metric).lower()
+    if metric == "t20":
+        return "t20", settings.t20_range_db
+    if metric == "edt":
+        return "edt", settings.edt_range_db
+    return "t30", settings.t30_range_db
+
+
+def analyse_modal_cloud_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: ModalCloudAnalysisSettings,
+) -> ChannelModalCloudResult:
+    import jax.numpy as jnp
+
+    x, length = pad_to_bucket(samples)
+    aligned = trim.align_for_analysis(
+        x,
+        length,
+        sample_rate_hz,
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    seg_len = int(np.asarray(aligned.length)[0])
+    if seg_len < settings.n_fft:
+        raise ValueError(
+            "Not enough samples after trimming/selection for modal cloud (need at least n_fft)."
+        )
+
+    result = stft.stft_mag_db(
+        aligned.samples,
+        aligned.length,
+        int(settings.n_fft),
+        int(settings.hop_length),
+        bool(settings.use_hann_window),
+        float(settings.floor_db),
+    )
+    t_valid = int(np.asarray(result.num_frames)[0])
+    mag_db_tf = result.mag_db[:, :t_valid, :]  # (1, T, F) device
+
+    freq_hz = stft.rfft_freqs_hz(settings.n_fft, sample_rate_hz)
+    nyquist = 0.5 * float(sample_rate_hz)
+    f_min = float(np.clip(settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
+    fmask = (freq_hz >= f_min) & (freq_hz <= f_max)
+    freq_sel = freq_hz[fmask]
+
+    edges = logfreq.build_log_bin_edges(
+        f_min, f_max, int(settings.log_bins_per_octave), int(settings.min_bins)
+    )
+    centres, bin_matrix_sel, nonempty = logfreq.build_log_bin_matrix(freq_sel, edges)
+
+    # Embed selection into the bin matrix: (B, F_full) with zeros outside.
+    bin_matrix = np.zeros((centres.size, freq_hz.size), dtype=np.float32)
+    bin_matrix[:, fmask] = bin_matrix_sel
+
+    curves_db = logfreq.aggregate_db_to_log_bins(mag_db_tf, jnp.asarray(bin_matrix))  # (1, B, T)
+
+    # Per-bin peak normalisation + reliability gate (modalcloud.py:356-361).
+    peak = jnp.max(curves_db, axis=-1, keepdims=True)
+    rel = curves_db - peak
+
+    # Frame-hop time base: fits run on the per-frame curve.
+    frame_rate = float(sample_rate_hz) / float(settings.hop_length)
+    frame_len = jnp.full(rel.shape[:-1], t_valid, dtype=jnp.int32)
+
+    metric, range_db = _metric_range(settings)
+    fit = dbfit.fit_decay_slope_over_db_range(
+        rel,
+        frame_len,
+        range_db,
+        float(settings.fit_lower_limit_db),
+        frame_rate,
+        min_points=int(settings.min_fit_points),
+    )
+
+    peak_host = np.asarray(peak)[0, :, 0]
+    ok = np.asarray(fit.ok)[0]
+    rt60 = np.asarray(fit.rt60_seconds)[0]
+    r2 = np.asarray(fit.r_squared)[0]
+
+    reliable = (
+        ok
+        & nonempty
+        & ((peak_host - float(settings.floor_db)) >= float(settings.min_peak_db_above_floor))
+    )
+
+    points = [
+        ModalPoint(float(centres[b]), float(rt60[b]), float(r2[b]))
+        for b in np.nonzero(reliable)[0]
+    ]
+    points.sort(key=lambda p: p.centre_hz)
+
+    return ChannelModalCloudResult(
+        channel_name=str(channel_name),
+        sample_rate_hz=int(sample_rate_hz),
+        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
+        analysis_length_samples=seg_len,
+        metric=metric,
+        points=points,
+    )
+
+
+def analyse_modal_cloud_from_wav_file(
+    input_wav_file_path: str | Path,
+    settings: Optional[ModalCloudAnalysisSettings] = None,
+) -> List[ChannelModalCloudResult]:
+    if settings is None:
+        settings = ModalCloudAnalysisSettings()
+    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return [
+        analyse_modal_cloud_for_channel(ch_samples, sr, ch_name, settings)
+        for ch_name, ch_samples in channels
+    ]
+
+
+def _median_curve(
+    points: List[ModalPoint], window_octaves: float
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    if len(points) < 8:
+        return None
+    window_oct = float(max(0.01, window_octaves))
+    freqs = np.array([p.centre_hz for p in points])
+    rt60 = np.array([p.rt60_seconds for p in points])
+    logf = np.log2(freqs)
+    out_f, out_y = [], []
+    for i in range(freqs.size):
+        m = (logf >= logf[i] - 0.5 * window_oct) & (logf <= logf[i] + 0.5 * window_oct)
+        if int(np.sum(m)) < 3:
+            continue
+        out_f.append(freqs[i])
+        out_y.append(float(np.median(rt60[m])))
+    if len(out_f) < 4:
+        return None
+    return np.array(out_f, np.float32), np.array(out_y, np.float32)
+
+
+def plot_modal_cloud_figure(
+    result: ChannelModalCloudResult,
+    analysis_settings: ModalCloudAnalysisSettings,
+    plot_settings: ModalCloudPlotSettings,
+    title: Optional[str] = None,
+):
+    figure, axis = create_figure_and_axis(title=title)
+    axis.set_xlabel("Frequency (Hz)")
+    axis.set_ylabel(f"RT60 estimate (s) [{result.metric.upper()}]")
+
+    nyquist = 0.5 * float(result.sample_rate_hz)
+    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+    apply_log_hz_xaxis(axis, f_min, f_max)
+
+    if not result.points:
+        axis.text(
+            0.5,
+            0.5,
+            "No valid points (insufficient decay range).",
+            transform=axis.transAxes,
+            ha="center",
+        )
+        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+        return figure
+
+    freqs = np.array([p.centre_hz for p in result.points], np.float32)
+    rt60 = np.array([p.rt60_seconds for p in result.points], np.float32)
+    axis.scatter(
+        freqs, rt60, s=12, alpha=0.85, label=f"{result.channel_name} ({len(result.points)} pts)"
+    )
+
+    if plot_settings.show_median_curve:
+        med = _median_curve(result.points, plot_settings.median_octave_window)
+        if med is not None:
+            axis.plot(med[0], med[1], alpha=0.9, label=f"{result.channel_name} median")
+
+    if plot_settings.ylim_seconds is not None:
+        axis.set_ylim(*plot_settings.ylim_seconds)
+    axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+    axis.legend(loc="best")
+    return figure
+
+
+def plot_modal_cloud_from_wav_file(
+    input_wav_file_path: str | Path,
+    analysis_settings: Optional[ModalCloudAnalysisSettings] = None,
+    plot_settings: Optional[ModalCloudPlotSettings] = None,
+    output_basename: Optional[str | Path] = None,
+    show_interactive: bool = True,
+) -> List[ChannelModalCloudResult]:
+    if analysis_settings is None:
+        analysis_settings = ModalCloudAnalysisSettings()
+    if plot_settings is None:
+        plot_settings = ModalCloudPlotSettings()
+
+    results = analyse_modal_cloud_from_wav_file(input_wav_file_path, analysis_settings)
+    for r in results:
+        fig = plot_modal_cloud_figure(
+            r,
+            analysis_settings,
+            plot_settings,
+            title=f"Modal cloud — {input_wav_file_path} — {r.channel_name}",
+        )
+        output_path = (
+            None
+            if output_basename is None
+            else suffixed_png(output_basename, f"_modalcloud_{r.channel_name}")
+        )
+        finalize_and_show_or_save(fig, output_path, show_interactive)
+    return results
+
+
+def summarise_modal_cloud_results_text(results: List[ChannelModalCloudResult]) -> str:
+    lines = []
+    for r in results:
+        dur = float(r.analysis_length_samples) / float(r.sample_rate_hz)
+        lines.append(
+            f"[{r.channel_name}] metric={r.metric} "
+            f"start_sample={r.analysis_start_sample_index} dur={dur:.3f}s points={len(r.points)}"
+        )
+        if r.points:
+            rt = np.array([p.rt60_seconds for p in r.points])
+            lines.append(
+                f"  rt60: median={np.median(rt):.3f}s  "
+                f"p90={np.percentile(rt, 90):.3f}s  max={np.max(rt):.3f}s"
+            )
+    return "\n".join(lines)

@@ -118,7 +118,9 @@ def analyse_rt60_bands_for_channel(
     if ignore > 0:
         start = jnp.minimum(start + ignore, length)
 
-    aligned = trim.shift_to(banded, start[:, None], length[:, None])
+    start_b = jnp.broadcast_to(start[:, None], banded.shape[:-1])
+    length_b = jnp.broadcast_to(length[:, None], banded.shape[:-1])
+    aligned = trim.shift_to(banded, start_b, length_b)
 
     curve = edc.schroeder_edc_db(
         aligned.samples,

@@ -1,0 +1,719 @@
+"""
+CLI for offline analysis — drop-in compatible with the reference's
+`python -m analyse.cli` surface (analyse/cli.py:110-1186): the same 13
+subcommands (ir, zplane, groupdelay, bundle, deconvolve, decay, rt60bands,
+fr, filter, spectrogram, diffusion, waterfall, modalcloud, report), flags,
+defaults, and deterministic stdout summaries.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional
+
+from audio_analysis_tpu.analyses.decay import (
+    DecayAnalysisSettings,
+    DecayPlotSettings,
+    plot_decay_from_wav_file,
+    summarise_decay_results_text,
+)
+from audio_analysis_tpu.analyses.deconvolve import (
+    DeconvolveSettings,
+    deconvolve_from_wav_files,
+    default_output_ir_path,
+)
+from audio_analysis_tpu.analyses.diffusion import (
+    DiffusionAnalysisSettings,
+    plot_diffusion_from_wav_file,
+    summarise_diffusion_results_text,
+)
+from audio_analysis_tpu.analyses.filterplot import (
+    FilterAnalysisSettings,
+    FilterPlotSettings,
+    plot_filter_response_from_wav_file,
+    summarise_filter_response_results_text,
+)
+from audio_analysis_tpu.analyses.frequency_response import (
+    FrequencyResponseAnalysisSettings,
+    FrequencyResponsePlotSettings,
+    plot_frequency_response_from_wav_file,
+    summarise_frequency_response_results_text,
+)
+from audio_analysis_tpu.analyses.group_delay import (
+    GroupDelayAnalysisSettings,
+    GroupDelayPlotSettings,
+    plot_group_delay_from_wav_file,
+    summarise_group_delay_results_text,
+)
+from audio_analysis_tpu.analyses.impulse_response import (
+    ImpulseResponseViewSettings,
+    plot_ir_from_wav_file,
+)
+from audio_analysis_tpu.analyses.modalcloud import (
+    ModalCloudAnalysisSettings,
+    ModalCloudPlotSettings,
+    plot_modal_cloud_from_wav_file,
+    summarise_modal_cloud_results_text,
+)
+from audio_analysis_tpu.analyses.rt60bands import (
+    Rt60BandsAnalysisSettings,
+    Rt60BandsPlotSettings,
+    plot_rt60_bands_from_wav_file,
+    summarise_rt60_bands_results_text,
+)
+from audio_analysis_tpu.analyses.spectrogram import (
+    SpectrogramAnalysisSettings,
+    SpectrogramPlotSettings,
+    plot_spectrogram_from_wav_file,
+    summarise_spectrogram_results_text,
+)
+from audio_analysis_tpu.analyses.waterfall import (
+    WaterfallAnalysisSettings,
+    WaterfallPlotSettings,
+    plot_waterfall_from_wav_file,
+    summarise_waterfall_results_text,
+)
+from audio_analysis_tpu.analyses.zplane import (
+    ZPlaneAnalysisSettings,
+    ZPlanePlotSettings,
+    plot_zplane_from_wav_file,
+    summarise_zplane_results_text,
+)
+from audio_analysis_tpu.report import (
+    BundleRunSettings,
+    ReportSettings,
+    run_bundle_report,
+    run_report_from_wav_file,
+)
+
+BoolOpt = argparse.BooleanOptionalAction
+
+
+def _add_input(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--input",
+        dest="input_wav_file_path",
+        type=str,
+        required=True,
+        help="Path to input WAV file (mono or stereo, 48 kHz expected).",
+    )
+
+
+def _add_output_noshow(p: argparse.ArgumentParser, help_text: str, underscore: bool) -> None:
+    p.add_argument("--output", dest="output_basename", type=str, default=None, help=help_text)
+    flag = "--no_show" if underscore else "--no-show"
+    p.add_argument(flag, dest="no_show", action="store_true",
+                   help="Do not display plots interactively (useful when saving files).")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    top = argparse.ArgumentParser(
+        prog="analyse",
+        description="Offline analysis tools for reverb outputs (plots, metrics).",
+    )
+    sub = top.add_subparsers(dest="command_name", required=True,
+                             help="Analysis to run. Use: analyse <command> --help")
+
+    # --- ir ---
+    p = sub.add_parser("ir", help="Plot waveform (full + early zoom) and log-magnitude tail view.")
+    _add_input(p)
+    p.add_argument("--early-window", dest="early_window_seconds", type=float, default=0.08)
+    p.add_argument("--floor-db", dest="log_magnitude_floor_db", type=float, default=-120.0)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    _add_output_noshow(p, "Save PNGs: <basename>.png, _early.png, _tail.png", underscore=True)
+
+    # --- zplane ---
+    p = sub.add_parser("zplane", help="Estimate poles (and optional zeros) from an IR.")
+    _add_input(p)
+    _add_output_noshow(p, "Output basename -> <basename>_zplane_<CH>.png", underscore=False)
+    p.add_argument("--mono", dest="use_mono_downmix_for_stereo", action="store_true")
+    p.add_argument("--no-trim", dest="trim_to_peak", action="store_false")
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--ar-order", dest="ar_order", type=int, default=256)
+    p.add_argument("--zeros", dest="derive_zeros", action="store_true")
+    p.add_argument("--zero-order", dest="zero_order", type=int, default=64)
+    p.add_argument("--radius", dest="limit_radius", type=float, default=1.2)
+    p.add_argument("--ridge", dest="ridge_lambda", type=float, default=0.0)
+
+    # --- groupdelay ---
+    p = sub.add_parser("groupdelay", help="Plot group delay vs frequency from an IR/filter output.")
+    _add_input(p)
+    _add_output_noshow(p, "Output basename -> <basename>_groupdelay_<CH>.png", underscore=False)
+    p.add_argument("--mono", dest="use_mono_downmix_for_stereo", action="store_true")
+    p.add_argument("--no-trim", dest="trim_to_peak", action="store_false")
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--fft", dest="fft_size", type=int, default=None)
+    p.add_argument("--smooth", dest="smoothing_bins", type=int, default=0)
+    p.add_argument("--fmin", dest="f_min_hz", type=float, default=20.0)
+    p.add_argument("--fmax", dest="f_max_hz", type=float, default=20000.0)
+
+    # --- bundle ---
+    p = sub.add_parser("bundle", help="Analyse an IR bundle folder (meta.json + taps/*.wav).")
+    p.add_argument("--input", dest="bundle_root", type=str, required=True)
+    p.add_argument("--reports-subdir", dest="reports_subdir", type=str, default="reports")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip taps whose report already exists.")
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true",
+                   help="Downmix stereo to mono in every tap report.")
+    p.add_argument("--no-plots", dest="no_plots", action="store_true",
+                   help="Engine fast path: text/JSON metric reports only, one fused device "
+                        "pass for the whole bundle (no PNG rendering).")
+
+    # --- deconvolve ---
+    p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
+    p.add_argument("--recorded_wav_file_path", type=str, required=True)
+    p.add_argument("--sweep_wav_file_path", type=str, required=True)
+    p.add_argument("--output_ir_wav_file_path", type=str, default=None)
+    p.add_argument("--regularization_relative", type=float, default=1e-10)
+    p.add_argument("--normalise_peak", action=BoolOpt, default=True)
+    p.add_argument("--target_peak", type=float, default=0.95)
+    p.add_argument("--remove_dc", action=BoolOpt, default=True)
+    p.add_argument("--output_length_mode", type=str, choices=["recorded", "full_fft"],
+                   default="recorded")
+
+    # --- decay ---
+    p = sub.add_parser("decay", help="Schroeder EDC + T20/T30/RT60 decay estimation")
+    _add_input(p)
+    _add_output_noshow(p, "If provided, saves a PNG: <basename>_decay.png", underscore=True)
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--edc_floor_db", type=float, default=-120.0)
+    p.add_argument("--fit_lower_limit_db", type=float, default=-80.0)
+    p.add_argument("--smoothing", dest="edc_smoothing_window_samples", type=int, default=0)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true", default=False)
+    p.add_argument("--compute_edt", action=BoolOpt, default=True)
+
+    # --- rt60bands ---
+    p = sub.add_parser("rt60bands",
+                       help="Band-limited RT60: Low/Mid/High T30 (optional T20/EDT).")
+    _add_input(p)
+    _add_output_noshow(p, "If provided, saves one PNG: <basename>_rt60bands.png", underscore=True)
+    p.add_argument("--band_mode", type=str, default="three", choices=["three", "octave", "third"])
+    p.add_argument("--f_min_hz", type=float, default=31.5)
+    p.add_argument("--f_max_hz", type=float, default=16000.0)
+    p.add_argument("--legend_values", action=BoolOpt, default=None)
+    p.add_argument("--low_upper_hz", type=float, default=250.0)
+    p.add_argument("--mid_center_hz", type=float, default=1000.0)
+    p.add_argument("--mid_width_octaves", type=float, default=2.0)
+    p.add_argument("--high_lower_hz", type=float, default=4000.0)
+    p.add_argument("--transition_width_octaves", type=float, default=1.0 / 6.0)
+    p.add_argument("--include_t20", action="store_true")
+    p.add_argument("--include_edt", action="store_true")
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action="store_true", default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--edc_floor_db", type=float, default=-120.0)
+    p.add_argument("--fit_lower_limit_db", type=float, default=-80.0)
+    p.add_argument("--smoothing", dest="edc_smoothing_window_samples", type=int, default=0)
+
+    # --- fr ---
+    p = sub.add_parser("fr", help="Plot magnitude spectrum (dB) vs frequency (log-x).")
+    _add_input(p)
+    _add_output_noshow(p, "If provided, saves a PNG: <basename>_fr.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--magnitude_floor_db", type=float, default=-120.0)
+    p.add_argument("--f_min_hz", type=float, default=20.0)
+    p.add_argument("--f_max_hz", type=float, default=20000.0)
+    p.add_argument("--smoothing_log_bins", type=int, default=0)
+    p.add_argument("--log_bins_per_octave", type=int, default=96)
+    p.add_argument("--no_hann_window", action="store_true")
+
+    # --- filter ---
+    p = sub.add_parser("filter", help="Plot filter frequency response: magnitude (dB) and phase.")
+    _add_input(p)
+    _add_output_noshow(p, "If provided, saves a PNG: <basename>_filter.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--magnitude_floor_db", type=float, default=-120.0)
+    p.add_argument("--f_min_hz", type=float, default=20.0)
+    p.add_argument("--f_max_hz", type=float, default=20000.0)
+    p.add_argument("--phase_mode", type=str, choices=["degrees", "radians"], default="degrees")
+    p.add_argument("--no_unwrap_phase", action="store_true")
+    p.add_argument("--no_hann_window", action="store_true")
+
+    # --- spectrogram ---
+    p = sub.add_parser("spectrogram", help="Plot time-frequency magnitude spectrogram.")
+    _add_input(p)
+    _add_output_noshow(p, "Saves PNG(s): <basename>_spectrogram_<CH>.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--n_fft", type=int, default=4096)
+    p.add_argument("--hop_length", type=int, default=512)
+    p.add_argument("--no_hann_window", action="store_true")
+    p.add_argument("--floor_db", type=float, default=-120.0)
+    p.add_argument("--f_min_hz", type=float, default=20.0)
+    p.add_argument("--f_max_hz", type=float, default=20000.0)
+    p.add_argument("--dynamic_range_db", type=float, default=90.0,
+                   help="Color scale range below max (default: 90). 0 -> percentiles.")
+
+    # --- diffusion ---
+    p = sub.add_parser("diffusion",
+                       help="Diffusion metrics over time: autocorr, echo density, decorrelation.")
+    _add_input(p)
+    _add_output_noshow(p, "If provided, saves one PNG: <basename>_diffusion.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--window_seconds", type=float, default=0.050)
+    p.add_argument("--hop_seconds", type=float, default=0.010)
+    p.add_argument("--max_lag_milliseconds", type=float, default=10.0)
+    p.add_argument("--echo_density_threshold_rms", type=float, default=1.0)
+    p.add_argument("--echo_density_normalise_to_gaussian", action=BoolOpt, default=True)
+
+    # --- waterfall ---
+    p = sub.add_parser("waterfall", help="Waterfall (CSD-style) plot: spectral slices over time.")
+    _add_input(p)
+    _add_output_noshow(p, "Saves PNG(s): <basename>_waterfall_<CH>.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--n_fft", type=int, default=4096)
+    p.add_argument("--hop_length", type=int, default=512)
+    p.add_argument("--no_hann_window", action="store_true")
+    p.add_argument("--f_min_hz", type=float, default=20.0)
+    p.add_argument("--f_max_hz", type=float, default=20000.0)
+    p.add_argument("--style", type=str, choices=["3d", "2d"], default="3d")
+    p.add_argument("--slice_mode", type=str, choices=["auto", "uniform_time", "uniform_frames"],
+                   default="auto")
+    p.add_argument("--num_slices", type=int, default=18)
+    p.add_argument("--slice_spacing_seconds", type=float, default=0.05)
+    p.add_argument("--start_time_seconds", type=float, default=0.0)
+    p.add_argument("--end_time_seconds", type=float, default=None)
+    p.add_argument("--db_reference", type=str, choices=["global_max", "slice_max"],
+                   default="global_max")
+    p.add_argument("--dynamic_range_db", type=float, default=80.0)
+    p.add_argument("--floor_db", type=float, default=-120.0)
+    p.add_argument("--smoothing_log_bins", type=int, default=0)
+    p.add_argument("--log_bins_per_octave", type=int, default=96)
+    p.add_argument("--elev_deg", type=float, default=30.0)
+    p.add_argument("--azim_deg", type=float, default=-60.0)
+    p.add_argument("--ridge_offset_db", type=float, default=6.0)
+
+    # --- modalcloud ---
+    p = sub.add_parser("modalcloud",
+                       help="Modal cloud: frequency vs RT60 points from per-bin STFT decay fits.")
+    _add_input(p)
+    _add_output_noshow(p, "Saves PNG(s): <basename>_modalcloud_<CH>.png", underscore=True)
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore-leading", dest="ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--duration", dest="analysis_duration_seconds", type=float, default=None)
+    p.add_argument("--n_fft", type=int, default=8192)
+    p.add_argument("--hop_length", type=int, default=512)
+    p.add_argument("--no_hann_window", action="store_true")
+    p.add_argument("--f_min_hz", type=float, default=20.0)
+    p.add_argument("--f_max_hz", type=float, default=20000.0)
+    p.add_argument("--metric", type=str, choices=["t30", "t20", "edt"], default="t30")
+    p.add_argument("--log_bins_per_octave", type=int, default=24)
+    p.add_argument("--min_bins", type=int, default=24)
+    p.add_argument("--fit_lower_limit_db", type=float, default=-80.0)
+    p.add_argument("--min_fit_points", type=int, default=10)
+    p.add_argument("--min_peak_db_above_floor", type=float, default=20.0)
+    p.add_argument("--floor_db", type=float, default=-120.0)
+    p.add_argument("--show_median_curve", action=BoolOpt, default=True)
+    p.add_argument("--median_octave_window", type=float, default=0.25)
+    p.add_argument("--ylim_seconds_min", type=float, default=None)
+    p.add_argument("--ylim_seconds_max", type=float, default=None)
+
+    # --- report ---
+    p = sub.add_parser("report", help="Run a standard analysis suite; write plots + summary.")
+    _add_input(p)
+    p.add_argument("--output", dest="output_basename", type=str, required=True,
+                   help="Output basename/prefix (folder + base name).")
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--trim_to_peak", action=BoolOpt, default=True)
+    p.add_argument("--ignore_leading_seconds", type=float, default=0.0)
+    p.add_argument("--ir", dest="run_ir", action=BoolOpt, default=True)
+    p.add_argument("--decay", dest="run_decay", action=BoolOpt, default=True)
+    p.add_argument("--rt60bands", dest="run_rt60bands", action=BoolOpt, default=True)
+    p.add_argument("--fr", dest="run_fr", action=BoolOpt, default=True)
+    p.add_argument("--gd", dest="run_gd", action=BoolOpt, default=True)
+    p.add_argument("--spectrogram", dest="run_spectrogram", action=BoolOpt, default=True)
+    p.add_argument("--waterfall", dest="run_waterfall", action=BoolOpt, default=True)
+    p.add_argument("--diffusion", dest="run_diffusion", action=BoolOpt, default=True)
+    p.add_argument("--modalcloud", dest="run_modalcloud", action=BoolOpt, default=True)
+    p.add_argument("--echodensity", dest="run_echodensity", action=BoolOpt, default=True)
+    p.add_argument("--timing", dest="include_timing", action="store_true",
+                   help="Append a per-block wall-clock table to the report.")
+    p.add_argument("--profile-dir", dest="profile_dir", type=str, default=None,
+                   help="Write a jax.profiler trace of the device work to this directory.")
+
+    return top
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cmd = str(args.command_name)
+
+    def out_base() -> Optional[str]:
+        ob = getattr(args, "output_basename", None)
+        return None if ob is None else str(Path(ob))
+
+    def show() -> bool:
+        return not bool(getattr(args, "no_show", False))
+
+    if cmd == "ir":
+        plot_ir_from_wav_file(
+            wav_file_path=str(args.input_wav_file_path),
+            settings=ImpulseResponseViewSettings(
+                early_window_seconds=float(args.early_window_seconds),
+                log_magnitude_floor_db=float(args.log_magnitude_floor_db),
+                use_mono_downmix=bool(args.use_mono_downmix),
+            ),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        return
+
+    if cmd == "deconvolve":
+        output_path = args.output_ir_wav_file_path
+        if output_path is None:
+            output_path = str(default_output_ir_path(args.recorded_wav_file_path))
+        result = deconvolve_from_wav_files(
+            recorded_wav_file_path=str(args.recorded_wav_file_path),
+            sweep_wav_file_path=str(args.sweep_wav_file_path),
+            settings=DeconvolveSettings(
+                regularization_relative=float(args.regularization_relative),
+                normalise_peak=bool(args.normalise_peak),
+                target_peak=float(args.target_peak),
+                remove_dc=bool(args.remove_dc),
+                output_length_mode=str(args.output_length_mode),
+            ),
+            output_ir_wav_file_path=output_path,
+        )
+        print(f"Wrote IR WAV: {output_path}")
+        print(f"  sample_rate_hz={result.sample_rate_hz}")
+        print(f"  channels={result.samples.shape[1]}")
+        print(f"  length_seconds={result.samples.shape[0] / float(result.sample_rate_hz):.3f}")
+        return
+
+    if cmd == "decay":
+        results = plot_decay_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=DecayAnalysisSettings(
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                edc_floor_db=float(args.edc_floor_db),
+                fit_lower_limit_db=float(args.fit_lower_limit_db),
+                edc_smoothing_window_samples=int(args.edc_smoothing_window_samples),
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                compute_edt=bool(args.compute_edt),
+            ),
+            plot_settings=DecayPlotSettings(),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_decay_results_text(results))
+        return
+
+    if cmd == "rt60bands":
+        decay_settings = DecayAnalysisSettings(
+            trim_to_peak=bool(args.trim_to_peak),
+            ignore_leading_seconds=float(args.ignore_leading_seconds),
+            edc_floor_db=float(args.edc_floor_db),
+            fit_lower_limit_db=float(args.fit_lower_limit_db),
+            edc_smoothing_window_samples=int(args.edc_smoothing_window_samples),
+            use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+            compute_edt=bool(args.include_edt),
+        )
+        rt_settings = Rt60BandsAnalysisSettings(
+            band_mode=str(args.band_mode),
+            low_upper_hz=float(args.low_upper_hz),
+            mid_center_hz=float(args.mid_center_hz),
+            mid_width_octaves=float(args.mid_width_octaves),
+            high_lower_hz=float(args.high_lower_hz),
+            f_min_hz=float(args.f_min_hz),
+            f_max_hz=float(args.f_max_hz),
+            transition_width_octaves=float(args.transition_width_octaves),
+            include_t20=bool(args.include_t20),
+            include_edt=bool(args.include_edt),
+            decay_settings=decay_settings,
+        )
+        legend_values = (
+            str(args.band_mode) == "three" if args.legend_values is None else bool(args.legend_values)
+        )
+        results = plot_rt60_bands_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            settings=rt_settings,
+            plot_settings=Rt60BandsPlotSettings(legend_values=legend_values),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(
+            summarise_rt60_bands_results_text(
+                results, include_t20=rt_settings.include_t20, include_edt=rt_settings.include_edt
+            )
+        )
+        return
+
+    if cmd == "fr":
+        results = plot_frequency_response_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=FrequencyResponseAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                use_hann_window=not bool(args.no_hann_window),
+                magnitude_floor_db=float(args.magnitude_floor_db),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+                smoothing_log_bins=int(args.smoothing_log_bins),
+                log_bins_per_octave=int(args.log_bins_per_octave),
+            ),
+            plot_settings=FrequencyResponsePlotSettings(),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_frequency_response_results_text(results))
+        return
+
+    if cmd == "filter":
+        results = plot_filter_response_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=FilterAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                use_hann_window=not bool(args.no_hann_window),
+                magnitude_floor_db=float(args.magnitude_floor_db),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+                phase_mode=str(args.phase_mode),
+                unwrap_phase=not bool(args.no_unwrap_phase),
+            ),
+            plot_settings=FilterPlotSettings(),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_filter_response_results_text(results))
+        return
+
+    if cmd == "spectrogram":
+        dyn = float(args.dynamic_range_db)
+        results = plot_spectrogram_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=SpectrogramAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                n_fft=int(args.n_fft),
+                hop_length=int(args.hop_length),
+                use_hann_window=not bool(args.no_hann_window),
+                floor_db=float(args.floor_db),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+                dynamic_range_db=None if dyn <= 0.0 else dyn,
+            ),
+            plot_settings=SpectrogramPlotSettings(),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_spectrogram_results_text(results))
+        return
+
+    if cmd == "diffusion":
+        results = plot_diffusion_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=DiffusionAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                window_seconds=float(args.window_seconds),
+                hop_seconds=float(args.hop_seconds),
+                max_lag_milliseconds=float(args.max_lag_milliseconds),
+                echo_density_threshold_rms=float(args.echo_density_threshold_rms),
+                echo_density_normalise_to_gaussian=bool(args.echo_density_normalise_to_gaussian),
+            ),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_diffusion_results_text(results))
+        return
+
+    if cmd == "waterfall":
+        results = plot_waterfall_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=WaterfallAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                n_fft=int(args.n_fft),
+                hop_length=int(args.hop_length),
+                use_hann_window=not bool(args.no_hann_window),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+                slice_mode=str(args.slice_mode),
+                num_slices=int(args.num_slices),
+                slice_spacing_seconds=float(args.slice_spacing_seconds),
+                start_time_seconds=float(args.start_time_seconds),
+                end_time_seconds=args.end_time_seconds,
+                db_reference=str(args.db_reference),
+                smoothing_log_bins=int(args.smoothing_log_bins),
+                log_bins_per_octave=int(args.log_bins_per_octave),
+                dynamic_range_db=float(args.dynamic_range_db),
+                floor_db=float(args.floor_db),
+            ),
+            plot_settings=WaterfallPlotSettings(
+                style=str(args.style),
+                elev_deg=float(args.elev_deg),
+                azim_deg=float(args.azim_deg),
+                ridge_offset_db=float(args.ridge_offset_db),
+            ),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_waterfall_results_text(results))
+        return
+
+    if cmd == "modalcloud":
+        ylim = None
+        if args.ylim_seconds_min is not None and args.ylim_seconds_max is not None:
+            ylim = (float(args.ylim_seconds_min), float(args.ylim_seconds_max))
+        results = plot_modal_cloud_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            analysis_settings=ModalCloudAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                n_fft=int(args.n_fft),
+                hop_length=int(args.hop_length),
+                use_hann_window=not bool(args.no_hann_window),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+                log_bins_per_octave=int(args.log_bins_per_octave),
+                min_bins=int(args.min_bins),
+                metric=str(args.metric),
+                fit_lower_limit_db=float(args.fit_lower_limit_db),
+                min_fit_points=int(args.min_fit_points),
+                min_peak_db_above_floor=float(args.min_peak_db_above_floor),
+                floor_db=float(args.floor_db),
+            ),
+            plot_settings=ModalCloudPlotSettings(
+                show_median_curve=bool(args.show_median_curve),
+                median_octave_window=float(args.median_octave_window),
+                ylim_seconds=ylim,
+            ),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_modal_cloud_results_text(results))
+        return
+
+    if cmd == "zplane":
+        results = plot_zplane_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            settings=ZPlaneAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix_for_stereo),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                ar_order=int(args.ar_order),
+                derive_zeros=bool(args.derive_zeros),
+                zero_order=int(args.zero_order),
+                ridge_lambda=float(args.ridge_lambda),
+            ),
+            plot_settings=ZPlanePlotSettings(limit_radius=float(args.limit_radius)),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_zplane_results_text(results))
+        return
+
+    if cmd == "groupdelay":
+        results = plot_group_delay_from_wav_file(
+            input_wav_file_path=str(args.input_wav_file_path),
+            settings=GroupDelayAnalysisSettings(
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix_for_stereo),
+                trim_to_peak=bool(args.trim_to_peak),
+                ignore_leading_seconds=float(args.ignore_leading_seconds),
+                analysis_duration_seconds=args.analysis_duration_seconds,
+                fft_size=args.fft_size,
+                smoothing_bins=int(args.smoothing_bins),
+                f_min_hz=float(args.f_min_hz),
+                f_max_hz=float(args.f_max_hz),
+            ),
+            plot_settings=GroupDelayPlotSettings(),
+            output_basename=out_base(),
+            show_interactive=show(),
+        )
+        print(summarise_group_delay_results_text(results))
+        return
+
+    if cmd == "report":
+        from audio_analysis_tpu.utils.timing import profile_trace
+
+        with profile_trace(getattr(args, "profile_dir", None)):
+            results = run_report_from_wav_file(
+                input_wav_file_path=str(args.input_wav_file_path),
+                output_basename=str(Path(args.output_basename)),
+                settings=ReportSettings(
+                    common_use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                    common_trim_to_peak=bool(args.trim_to_peak),
+                    common_ignore_leading_seconds=float(args.ignore_leading_seconds),
+                    run_impulse_response_plots=bool(args.run_ir),
+                    run_decay=bool(args.run_decay),
+                    run_rt60_bands=bool(args.run_rt60bands),
+                    run_frequency_response=bool(args.run_fr),
+                    run_group_delay=bool(args.run_gd),
+                    run_spectrogram=bool(args.run_spectrogram),
+                    run_waterfall=bool(args.run_waterfall),
+                    run_diffusion=bool(args.run_diffusion),
+                    run_modal_cloud=bool(args.run_modalcloud),
+                    run_echo_density=bool(args.run_echodensity),
+                    include_timing_footer=bool(getattr(args, "include_timing", False)),
+                ),
+            )
+        print(results.summary_markdown)
+        print(f"Wrote: {results.summary_markdown_path}")
+        return
+
+    if cmd == "bundle":
+        if bool(getattr(args, "no_plots", False)):
+            from audio_analysis_tpu.report import EngineBundleSettings, run_bundle_report_engine
+
+            index = run_bundle_report_engine(
+                str(args.bundle_root),
+                EngineBundleSettings(
+                    reports_subdir=str(args.reports_subdir),
+                    use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                ),
+            )
+            print(f"Wrote bundle report index: {index}")
+            return
+
+        index = run_bundle_report(
+            str(args.bundle_root),
+            settings=BundleRunSettings(
+                reports_subdir=str(args.reports_subdir),
+                resume=bool(args.resume),
+                report_settings=ReportSettings(
+                    common_use_mono_downmix_for_stereo=bool(args.use_mono_downmix)
+                )
+                if args.use_mono_downmix
+                else None,
+            ),
+        )
+        print(f"Wrote bundle report index: {index}")
+        return
+
+    raise ValueError(f"Unknown command: {cmd}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,425 @@
+"""
+The fused batched analysis engine.
+
+One jit-compiled program computes EVERY report metric for a whole batch of
+taps at once — load once, one shared STFT per (tap, channel), every fit
+vectorised — where the reference runs the full per-module stack
+sequentially per tap (bundle.py:56-68 over report.py:222-398, re-reading
+the WAV ~10x and recomputing the STFT 3x per tap).
+
+Shapes: samples (B, C, N) float32 zero-padded, lengths (B,) int32.
+All config is static (a frozen dataclass) so the compiled program is reused
+across runs; enable the persistent compilation cache to reuse it across
+processes.
+
+The engine returns a flat dict of device arrays, everything needed to write
+the deterministic text summaries of a full report for every tap without
+further device work.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_analysis_tpu.ops import dbfit, diffusion as dops, edc, fftmask, logfreq, stft, trim
+from audio_analysis_tpu.ops.common import bool_valid_mask, hann_window_dynamic
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Cache compiled programs across processes (enabled at ops import)."""
+    from audio_analysis_tpu.ops import _enable_persistent_compilation_cache
+
+    _enable_persistent_compilation_cache()
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static analysis configuration (the report defaults of the reference)."""
+
+    sample_rate_hz: int = 48_000
+    trim_to_peak: bool = True
+    ignore_leading_seconds: float = 0.0
+
+    # decay (decay.py:44-73)
+    edc_floor_db: float = -120.0
+    edc_epsilon: float = 1e-20
+    fit_lower_limit_db: float = -80.0
+    t20_range_db: Tuple[float, float] = (-5.0, -25.0)
+    t30_range_db: Tuple[float, float] = (-5.0, -35.0)
+    edt_range_db: Tuple[float, float] = (0.0, -10.0)
+
+    # rt60 three-band defaults (rt60bands.py:44-69)
+    low_upper_hz: float = 250.0
+    mid_center_hz: float = 1000.0
+    mid_width_octaves: float = 2.0
+    high_lower_hz: float = 4000.0
+    transition_width_octaves: float = 1.0 / 6.0
+
+    # spectra
+    f_min_hz: float = 20.0
+    f_max_hz: float = 20000.0
+    magnitude_floor_db: float = -120.0
+
+    # stft (spectrogram.py:51-53) + modal cloud (modalcloud.py:56)
+    n_fft: int = 4096
+    hop_length: int = 512
+    modal_n_fft: int = 8192
+    modal_log_bins_per_octave: int = 24
+    modal_min_bins: int = 24
+    modal_min_fit_points: int = 10
+    modal_min_peak_db_above_floor: float = 20.0
+
+    # diffusion with the report defaults (report.py:360-361)
+    diffusion_window_seconds: float = 0.050
+    diffusion_hop_seconds: float = 0.05
+    diffusion_max_lag_ms: float = 5.0
+    echo_density_threshold_rms: float = 1.0
+
+    # kernel selection: use the fused Pallas EDC kernel when the padded
+    # length qualifies (N % 16384 == 0) and we're compiling for TPU
+    use_pallas_edc: bool = True
+
+    # toggles (heavier blocks can be dropped for pure decay workloads)
+    run_bands: bool = True
+    run_fr: bool = True
+    run_group_delay: bool = True
+    run_stft: bool = True
+    run_modal: bool = True
+    run_diffusion: bool = True
+
+
+def _band_masks(config: EngineConfig, n: int) -> np.ndarray:
+    bands = fftmask.build_three_band_definitions(
+        config.sample_rate_hz,
+        config.low_upper_hz,
+        config.mid_center_hz,
+        config.mid_width_octaves,
+        config.high_lower_hz,
+    )
+    return fftmask.build_band_mask_matrix(
+        bands, n, config.sample_rate_hz, config.transition_width_octaves
+    )
+
+
+def _modal_bin_matrix(config: EngineConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    freq = np.fft.rfftfreq(config.modal_n_fft, 1.0 / config.sample_rate_hz)
+    nyquist = 0.5 * config.sample_rate_hz
+    f_min = float(np.clip(config.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(config.f_max_hz, f_min, nyquist))
+    fsel = (freq >= f_min) & (freq <= f_max)
+    edges = logfreq.build_log_bin_edges(
+        f_min, f_max, config.modal_log_bins_per_octave, config.modal_min_bins
+    )
+    centres, mat_sel, nonempty = logfreq.build_log_bin_matrix(freq[fsel], edges)
+    mat = np.zeros((centres.size, freq.size), dtype=np.float32)
+    mat[:, fsel] = mat_sel
+    return centres, mat, nonempty
+
+
+def _edc(samples: jnp.ndarray, length: jnp.ndarray, config: "EngineConfig") -> edc.EdcResult:
+    from audio_analysis_tpu.ops import pallas_kernels
+
+    if (
+        config.use_pallas_edc
+        and pallas_kernels.supports(samples.shape[-1])
+        and jax.default_backend() == "tpu"
+    ):
+        edc_db = pallas_kernels.schroeder_edc_db_pallas(
+            samples, length, eps=config.edc_epsilon, floor_db=config.edc_floor_db
+        )
+        return edc.EdcResult(edc_db, jnp.broadcast_to(jnp.asarray(length, jnp.int32), samples.shape[:-1]))
+    return edc.schroeder_edc_db(
+        samples, length, edc_epsilon=config.edc_epsilon, edc_floor_db=config.edc_floor_db
+    )
+
+
+def _fit_metrics(fit: dbfit.DecayFit, prefix: str) -> Dict[str, jnp.ndarray]:
+    return {
+        f"{prefix}_rt60": fit.rt60_seconds,
+        f"{prefix}_slope": fit.slope_db_per_second,
+        f"{prefix}_r2": fit.r_squared,
+        f"{prefix}_t_start": fit.start_time_seconds,
+        f"{prefix}_t_end": fit.end_time_seconds,
+        f"{prefix}_ok": fit.ok,
+    }
+
+
+@partial(jax.jit, static_argnames=("config",))
+def analyze_batch(
+    samples: jnp.ndarray,  # (B, C, N) float32
+    lengths: jnp.ndarray,  # (B,) int32
+    config: EngineConfig = EngineConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """The full fused metric computation. Returns a dict of (B, C, ...) arrays."""
+    sr = config.sample_rate_hz
+    b, c, n = samples.shape
+    lengths_bc = jnp.broadcast_to(lengths[:, None], (b, c))
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    # ---- alignment (per channel, like every reference module) ----
+    aligned = trim.align_for_analysis(
+        samples, lengths_bc, sr, config.trim_to_peak, config.ignore_leading_seconds
+    )
+    out["start_index"] = aligned.start_index
+    out["segment_length"] = aligned.length
+
+    # ---- decay: EDC + fits ----
+    curve = _edc(aligned.samples, aligned.length, config)
+    c0 = dbfit.crossing_time(curve.edc_db, curve.length, 0.0, sr)
+    c10 = dbfit.crossing_time(curve.edc_db, curve.length, -10.0, sr)
+    out["early10_time"] = c10.time_seconds - c0.time_seconds
+    out["early10_ok"] = c0.found & c10.found & (c10.time_seconds >= c0.time_seconds)
+    for name, range_db in (
+        ("edt", config.edt_range_db),
+        ("t20", config.t20_range_db),
+        ("t30", config.t30_range_db),
+    ):
+        fit = dbfit.fit_decay_slope_over_db_range(
+            curve.edc_db, curve.length, range_db, config.fit_lower_limit_db, sr
+        )
+        out.update(_fit_metrics(fit, name))
+
+    # ---- rt60 bands: one batched filterbank + one batched fit set ----
+    if config.run_bands:
+        masks = jnp.asarray(_band_masks(config, n))
+        banded = fftmask.apply_band_masks(samples, masks)  # (B, C, bands, N)
+        start_b = aligned.start_index[..., None]
+        length_b = lengths_bc[..., None]
+        banded_aligned = trim.shift_to(
+            banded,
+            jnp.broadcast_to(start_b, banded.shape[:-1]),
+            jnp.broadcast_to(length_b, banded.shape[:-1]),
+        )
+        band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
+        for name, range_db in (
+            ("band_t30", config.t30_range_db),
+            ("band_t20", config.t20_range_db),
+            ("band_edt", config.edt_range_db),
+        ):
+            fit = dbfit.fit_decay_slope_over_db_range(
+                band_curve.edc_db, band_curve.length, range_db, config.fit_lower_limit_db, sr
+            )
+            out[f"{name}_rt60"] = fit.rt60_seconds  # (B, C, bands)
+            out[f"{name}_ok"] = fit.ok
+
+    # ---- frequency response diagnostics ----
+    nyquist = 0.5 * sr
+    f_min = float(np.clip(config.f_min_hz, 0.0, nyquist))
+    f_max = float(np.clip(config.f_max_hz, f_min, nyquist))
+    freqs_np = np.fft.rfftfreq(n, 1.0 / sr).astype(np.float32)
+    sel_np = (freqs_np >= f_min) & (freqs_np <= f_max)
+    freqs = jnp.asarray(freqs_np)
+    sel = jnp.asarray(sel_np)
+
+    if config.run_fr or config.run_group_delay:
+        windowed = aligned.samples * hann_window_dynamic(n, aligned.length)
+        spectrum = jnp.fft.rfft(windowed, axis=-1)
+
+    if config.run_fr:
+        mag = jnp.abs(spectrum).astype(jnp.float32)
+        floor_lin = 10.0 ** (config.magnitude_floor_db / 20.0)
+        mag = jnp.maximum(mag, floor_lin)
+        mag_sel = jnp.where(sel, mag, 0.0)
+        out["fr_peak_hz"] = freqs[jnp.argmax(mag_sel, axis=-1)]
+        wsum = jnp.sum(mag_sel, axis=-1)
+        out["fr_centroid_hz"] = jnp.sum(mag_sel * freqs, axis=-1) / jnp.maximum(wsum, 1e-30)
+
+    # ---- group delay ----
+    if config.run_group_delay:
+        phase = jnp.unwrap(jnp.angle(spectrum), axis=-1)
+        dw = 2.0 * jnp.pi / n
+        gd = -(jnp.gradient(phase, axis=-1) / dw)
+        gd_sel = jnp.where(sel, gd, jnp.nan)
+        out["gd_median"] = jnp.nanmedian(gd_sel, axis=-1)
+        out["gd_p10"] = jnp.nanpercentile(gd_sel, 10.0, axis=-1)
+        out["gd_p90"] = jnp.nanpercentile(gd_sel, 90.0, axis=-1)
+
+    # ---- shared STFT (spectrogram + waterfall consume this one) ----
+    if config.run_stft:
+        st = stft.stft_mag_db(
+            aligned.samples,
+            aligned.length,
+            config.n_fft,
+            config.hop_length,
+            True,
+            config.magnitude_floor_db,
+        )
+        out["stft_num_frames"] = st.num_frames
+        # waterfall-style global max per (tap, channel) — plot normalisation
+        out["stft_global_max_db"] = jnp.max(st.mag_db, axis=(-2, -1))
+
+    # ---- modal cloud ----
+    if config.run_modal:
+        stm = stft.stft_mag_db(
+            aligned.samples,
+            aligned.length,
+            config.modal_n_fft,
+            config.hop_length,
+            True,
+            config.magnitude_floor_db,
+        )
+        centres, bin_matrix, nonempty = _modal_bin_matrix(config)
+        curves_db = logfreq.aggregate_db_to_log_bins(stm.mag_db, jnp.asarray(bin_matrix))
+        # mask frames past validity out of the per-bin peak
+        t_total = stm.mag_db.shape[-2]
+        frame_valid = jnp.arange(t_total) < stm.num_frames[..., None]
+        curves_db = jnp.where(frame_valid[..., None, :], curves_db, config.magnitude_floor_db)
+        peak = jnp.max(curves_db, axis=-1, keepdims=True)
+        rel = curves_db - peak
+        frame_rate = sr / config.hop_length
+        frame_len = jnp.broadcast_to(stm.num_frames[..., None], rel.shape[:-1])
+        fit = dbfit.fit_decay_slope_over_db_range(
+            rel,
+            frame_len,
+            config.t30_range_db,
+            config.fit_lower_limit_db,
+            frame_rate,
+            min_points=config.modal_min_fit_points,
+        )
+        reliable = (
+            fit.ok
+            & jnp.asarray(nonempty)
+            & (
+                (peak[..., 0] - config.magnitude_floor_db)
+                >= config.modal_min_peak_db_above_floor
+            )
+        )
+        rt60 = jnp.where(reliable, fit.rt60_seconds, jnp.nan)
+        out["modal_count"] = jnp.sum(reliable, axis=-1)
+        out["modal_median_rt60"] = jnp.nanmedian(rt60, axis=-1)
+        out["modal_p90_rt60"] = jnp.nanpercentile(rt60, 90.0, axis=-1)
+        out["modal_max_rt60"] = jnp.nanmax(rt60, axis=-1)
+        out["modal_rt60"] = rt60  # (B, C, bins) for scatter plots
+        out["modal_r2"] = jnp.where(reliable, fit.r_squared, jnp.nan)
+
+    # ---- diffusion (report defaults) ----
+    if config.run_diffusion:
+        win = max(16, int(round(config.diffusion_window_seconds * sr)))
+        hop = max(1, int(round(config.diffusion_hop_seconds * sr)))
+        max_lag = max(1, int(round(config.diffusion_max_lag_ms / 1000.0 * sr)))
+        series = dops.diffusion_metrics(
+            aligned.samples,
+            aligned.length,
+            win,
+            hop,
+            max_lag,
+            sr,
+            config.echo_density_threshold_rms,
+            True,
+        )
+        out["diff_median_autocorr"] = jnp.nanmedian(series.max_abs_autocorr, axis=-1)
+        out["diff_median_echo_density"] = jnp.nanmedian(series.echo_density, axis=-1)
+        out["diff_num_frames"] = series.num_frames
+
+        # stereo: align L/R at the peak of the (L+R)/2 downmix
+        combined = jnp.mean(samples, axis=1)  # (B, N)
+        comb_aligned = trim.align_for_analysis(
+            combined, lengths, sr, config.trim_to_peak, config.ignore_leading_seconds
+        )
+        start = comb_aligned.start_index
+        l_al = trim.shift_to(samples[:, 0, :], start, lengths)
+        r_al = trim.shift_to(samples[:, -1, :], start, lengths)
+        stereo = dops.stereo_diffusion_metrics(
+            l_al.samples, r_al.samples, l_al.length, win, hop, max_lag
+        )
+        out["diff_median_corr0"] = jnp.nanmedian(stereo.corr0, axis=-1)
+        out["diff_median_iacc"] = jnp.nanmedian(stereo.iacc_max, axis=-1)
+
+    return out
+
+
+# ----------------------------------------------------------------------------
+# packed transport: one device->host fetch for the whole metric dict
+# ----------------------------------------------------------------------------
+#
+# The development TPU sits behind a high-latency tunnel (~25 ms per fetch
+# round-trip) and real deployments also prefer one contiguous D2H copy per
+# step: the engine therefore offers a "flat" variant that concatenates every
+# metric into a single float32 vector on device; the host unpacks by the
+# statically known shapes.
+
+
+@partial(jax.jit, static_argnames=("config",))
+def analyze_batch_flat(
+    samples: jnp.ndarray, lengths: jnp.ndarray, config: EngineConfig = EngineConfig()
+) -> jnp.ndarray:
+    out = analyze_batch(samples, lengths, config)
+    parts = [out[k].astype(jnp.float32).ravel() for k in sorted(out)]
+    return jnp.concatenate(parts)
+
+
+def _flat_spec(batch_shape, lengths_shape, config: EngineConfig):
+    """(key, shape, dtype) layout of the flat vector, via eval_shape (no compute)."""
+    shapes = jax.eval_shape(
+        partial(analyze_batch, config=config),
+        jax.ShapeDtypeStruct(batch_shape, jnp.float32),
+        jax.ShapeDtypeStruct(lengths_shape, jnp.int32),
+    )
+    return [(k, shapes[k].shape, shapes[k].dtype) for k in sorted(shapes)]
+
+
+def unpack_flat(flat: np.ndarray, spec) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    offset = 0
+    for key, shape, dtype in spec:
+        size = int(np.prod(shape)) if shape else 1
+        chunk = flat[offset : offset + size].reshape(shape)
+        if np.issubdtype(dtype, np.bool_):
+            chunk = chunk > 0.5
+        elif np.issubdtype(dtype, np.integer):
+            chunk = chunk.astype(dtype)
+        out[key] = chunk
+        offset += size
+    return out
+
+
+def analyze_bundle(
+    batch: np.ndarray,
+    lengths: np.ndarray,
+    config: EngineConfig = EngineConfig(),
+    chunk_taps: int = 16,
+) -> Dict[str, np.ndarray]:
+    """
+    Host entry: run the fused engine over a (B, C, N) bundle batch, chunking
+    the tap axis to bound peak HBM (the STFT intermediate is the big one).
+    Returns host numpy arrays concatenated over taps.
+    """
+    b = batch.shape[0]
+    chunk_taps = min(chunk_taps, b)
+    spec = _flat_spec((chunk_taps,) + batch.shape[1:], (chunk_taps,), config)
+
+    flats = []
+    takes = []
+    for lo in range(0, b, chunk_taps):
+        hi = min(b, lo + chunk_taps)
+        # pad the last chunk to the chunk size so every chunk reuses the
+        # same compiled program
+        take = hi - lo
+        if take < chunk_taps:
+            pad = chunk_taps - take
+            cb = np.concatenate([batch[lo:hi], np.zeros_like(batch[:pad])], axis=0)
+            cl = np.concatenate([lengths[lo:hi], np.full(pad, batch.shape[-1] // 2, np.int32)])
+        else:
+            cb, cl = batch[lo:hi], lengths[lo:hi]
+        flats.append(
+            analyze_batch_flat(jnp.asarray(cb), jnp.asarray(cl.astype(np.int32)), config)
+        )
+        takes.append(take)
+
+    # all chunks dispatched; ONE host fetch per chunk, then unpack
+    chunks = []
+    for flat, take in zip(flats, takes):
+        res = unpack_flat(np.asarray(flat), spec)
+        if take < chunk_taps:
+            res = {k: v[:take] for k, v in res.items()}
+        chunks.append(res)
+
+    return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}

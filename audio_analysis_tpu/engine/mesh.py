@@ -1,0 +1,109 @@
+"""
+Multi-chip scaling for the bundle engine.
+
+The tap batch is the natural parallel axis (SURVEY §2: the reference's
+sequential tap loop, bundle.py:56-68). The fused engine runs under
+`shard_map` with taps sharded over the mesh ("dp" over ICI): each device
+executes the identical local program on its tap shard, and the bundle-level
+aggregate statistics are computed on the sharded outputs afterwards — XLA
+inserts the all-reduces.
+
+shard_map (rather than plain jit-with-shardings) is deliberate: the engine
+is FFT-heavy, and explicit SPMD keeps every per-shard FFT in its default
+layout (the XLA CPU backend rejects non-monotonic FFT layouts that GSPMD
+propagation can otherwise introduce), while on TPU it guarantees no
+accidental resharding inside the hot loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audio_analysis_tpu.engine.batch import EngineConfig, analyze_batch
+
+try:  # jax >= 0.4.30 style
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.maps import shard_map  # type: ignore
+
+
+def make_mesh(num_devices: Optional[int] = None, platform: Optional[str] = None) -> Mesh:
+    """
+    1D "taps" mesh over the requested devices.
+
+    `platform` can force e.g. "cpu" to build a virtual host mesh (the
+    standard fake-multichip test setup). If the default platform has too few
+    devices for `num_devices`, the CPU host platform is used automatically.
+    """
+    if platform is not None:
+        pool = jax.devices(platform)
+    else:
+        pool = jax.devices()
+        if num_devices is not None and len(pool) < num_devices:
+            pool = jax.devices("cpu")
+    devices = np.array(pool[: num_devices or len(pool)])
+    if num_devices is not None and devices.size < num_devices:
+        raise ValueError(f"Requested {num_devices} devices but only {devices.size} available")
+    return Mesh(devices, axis_names=("taps",))
+
+
+def _pad_to_multiple(batch: np.ndarray, lengths: np.ndarray, multiple: int):
+    b = batch.shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch, lengths, 0
+    batch = np.concatenate([batch, np.tile(batch[:1], (pad, 1, 1))], axis=0)
+    lengths = np.concatenate([lengths, np.tile(lengths[:1], pad)])
+    return batch, lengths, pad
+
+
+def analyze_batch_sharded(
+    mesh: Mesh,
+    batch: np.ndarray,
+    lengths: np.ndarray,
+    config: EngineConfig = EngineConfig(),
+) -> Dict[str, jax.Array]:
+    """
+    Run the fused engine with the tap batch sharded over the mesh, plus
+    bundle-level aggregates (cross-device reductions):
+      bundle_median_t30, bundle_mean_early10, bundle_valid_taps.
+    Padded taps (to make B divisible by the mesh) are trimmed from the
+    per-tap outputs and excluded from aggregates.
+    """
+    n_shards = mesh.shape["taps"]
+    batch_p, lengths_p, pad = _pad_to_multiple(
+        np.asarray(batch, np.float32), np.asarray(lengths, np.int32), n_shards
+    )
+
+    data_sharding = NamedSharding(mesh, P("taps", None, None))
+    len_sharding = NamedSharding(mesh, P("taps"))
+    samples = jax.device_put(jnp.asarray(batch_p), data_sharding)
+    lengths_dev = jax.device_put(jnp.asarray(lengths_p), len_sharding)
+
+    local_step = shard_map(
+        partial(analyze_batch, config=config),
+        mesh=mesh,
+        in_specs=(P("taps", None, None), P("taps")),
+        out_specs=P("taps"),
+    )
+
+    out = jax.jit(local_step)(samples, lengths_dev)
+
+    b = batch.shape[0]
+    if pad:
+        out = {k: v[:b] for k, v in out.items()}
+
+    # Bundle-wide aggregates: reductions over the (sharded) tap axis.
+    t30 = jnp.where(out["t30_ok"], out["t30_rt60"], jnp.nan)
+    out["bundle_median_t30"] = jnp.nanmedian(t30)
+    out["bundle_mean_early10"] = jnp.nanmean(
+        jnp.where(out["early10_ok"], out["early10_time"], jnp.nan)
+    )
+    out["bundle_valid_taps"] = jnp.sum(jnp.any(out["t30_ok"], axis=-1))
+    return out

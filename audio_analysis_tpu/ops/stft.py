@@ -37,8 +37,28 @@ def num_frames_static(n: int, n_fft: int, hop: int) -> int:
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(..., N) -> (..., T, n_fft) via a strided gather (XLA fuses this)."""
-    t = num_frames_static(x.shape[-1], n_fft, hop)
+    """
+    (..., N) -> (..., T, n_fft) "valid" framing.
+
+    TPU note: when hop divides n_fft (all the framework defaults: 4096/512,
+    8192/512, diffusion 2400/480...) the frame matrix is assembled from
+    n_fft//hop shifted reshapes — static slices + reshapes that XLA turns
+    into contiguous copies. frame[k] = concat_j x[(k+j)*hop : (k+j+1)*hop].
+    A generic (T, n_fft) index gather here is the single slowest op on TPU.
+    """
+    n = x.shape[-1]
+    t = num_frames_static(n, n_fft, hop)
+    if t <= 0:
+        return jnp.zeros(x.shape[:-1] + (0, n_fft), x.dtype)
+
+    if n_fft % hop == 0:
+        factor = n_fft // hop
+        parts = []
+        for j in range(factor):
+            seg = jax.lax.slice_in_dim(x, j * hop, j * hop + t * hop, axis=-1)
+            parts.append(seg.reshape(x.shape[:-1] + (t, hop)))
+        return jnp.concatenate(parts, axis=-1)
+
     starts = jnp.arange(t, dtype=jnp.int32) * hop
     idx = starts[:, None] + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
     return jnp.take(x, idx, axis=-1)

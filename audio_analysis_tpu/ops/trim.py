@@ -35,15 +35,33 @@ def peak_index(x: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
 
 def shift_to(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> AlignedSignal:
     """
-    Gather x so original index `start` lands at 0. `start` and `length`
-    broadcast over batch dims. Out-of-range reads are clipped then masked.
+    Shift x so original index `start` lands at 0. `start` and `length`
+    broadcast over batch dims; out-of-range positions read zero.
+
+    TPU note: implemented as one contiguous `lax.dynamic_slice` per batch
+    row from a zero-extended buffer (the batch dims are static and small —
+    taps x channels x bands). A generic element gather here
+    (take_along_axis over ~10^6 indices) is orders of magnitude slower on
+    TPU; contiguous dynamic slices are plain DMA copies.
     """
     n = x.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32) + start[..., None]
-    gathered = jnp.take_along_axis(x, jnp.clip(idx, 0, n - 1), axis=-1)
-    new_length = jnp.maximum(length - start, 0).astype(jnp.int32)
+    batch_shape = x.shape[:-1]
+    start_b = jnp.broadcast_to(jnp.asarray(start, jnp.int32), batch_shape)
+    length_b = jnp.broadcast_to(jnp.asarray(length, jnp.int32), batch_shape)
+
+    flat = x.reshape((-1, n))
+    starts_flat = start_b.reshape((-1,))
+    padded = jnp.concatenate([flat, jnp.zeros_like(flat)], axis=-1)  # (R, 2N)
+
+    rows = [
+        jax.lax.dynamic_slice(padded[r], (jnp.clip(starts_flat[r], 0, n),), (n,))
+        for r in range(flat.shape[0])
+    ]
+    shifted = jnp.stack(rows).reshape(x.shape)
+
+    new_length = jnp.maximum(length_b - start_b, 0).astype(jnp.int32)
     mask = bool_valid_mask(n, new_length)
-    return AlignedSignal(jnp.where(mask, gathered, 0.0), new_length, start)
+    return AlignedSignal(jnp.where(mask, shifted, 0.0), new_length, start_b)
 
 
 @partial(jax.jit, static_argnames=("sample_rate_hz", "trim_to_peak", "ignore_leading_seconds", "analysis_duration_seconds"))

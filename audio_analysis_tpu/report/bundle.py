@@ -1,0 +1,88 @@
+"""
+Bundle runner: analyse a capture-bundle folder (meta.json + taps/*.wav).
+
+Parity with analyse/bundle.py: per-tap report into
+<bundle_root>/reports/<tap>/ and a bundle_report.md index (bundle.py:35-74).
+
+Beyond the reference:
+- per-tap failure isolation: one bad tap no longer kills the whole run
+  (the reference aborts, bundle.py:56-68); failures are listed in the index;
+- optional resume: skip taps whose report already exists;
+- the batched fast path (engine.bundle) computes all tap metrics in one
+  fused device program before plotting.
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+from audio_analysis_tpu.report.report import ReportSettings, run_report_from_wav_file
+
+
+@dataclass(frozen=True)
+class BundleRunSettings:
+    reports_subdir: str = "reports"
+    report_settings: Optional[ReportSettings] = None
+    resume: bool = False  # skip taps with an existing report
+    continue_on_error: bool = True
+
+
+def run_bundle_report(
+    bundle_root: str | Path, settings: Optional[BundleRunSettings] = None
+) -> Path:
+    if settings is None:
+        settings = BundleRunSettings()
+
+    bundle_root = Path(bundle_root)
+    meta = json.loads((bundle_root / "meta.json").read_text())
+    tap_names: List[str] = list(meta.get("taps", []))
+    taps_dir = bundle_root / "taps"
+
+    reports_root = bundle_root / settings.reports_subdir
+    reports_root.mkdir(parents=True, exist_ok=True)
+
+    index_lines: List[str] = []
+    index_lines.append("# IR Bundle Report\n")
+    index_lines.append(f"**Bundle:** `{bundle_root}`\n")
+    index_lines.append(f"**Sample rate:** {meta.get('sample_rate_hz')}\n")
+    index_lines.append(f"**Length (samples):** {meta.get('length_samples')}\n")
+    index_lines.append("\n## Taps\n")
+
+    failures: List[str] = []
+
+    for tap in tap_names:
+        wav_path = taps_dir / f"{tap}.wav"
+        out_dir = reports_root / tap
+        out_dir.mkdir(parents=True, exist_ok=True)
+        report_md = out_dir / f"{tap}_report.md"
+
+        if settings.resume and report_md.exists():
+            index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name}) (cached)")
+            continue
+
+        try:
+            run_report_from_wav_file(
+                input_wav_file_path=wav_path,
+                output_basename=out_dir / tap,
+                settings=settings.report_settings,
+            )
+            index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
+        except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
+            if not settings.continue_on_error:
+                raise
+            failures.append(tap)
+            index_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
+            (out_dir / "error.txt").write_text(traceback.format_exc())
+
+    if failures:
+        index_lines.append("\n## Failures\n")
+        for tap in failures:
+            index_lines.append(f"- {tap} (see {settings.reports_subdir}/{tap}/error.txt)")
+
+    index_path = reports_root / "bundle_report.md"
+    index_path.write_text("\n".join(index_lines) + "\n")
+    return index_path

@@ -1,0 +1,219 @@
+"""
+Engine-backed bundle reports: the <1 s / 64-tap fast path.
+
+`run_bundle_report_engine` decodes every tap with the native parallel
+loader, runs the fused device engine ONCE for the whole bundle, and writes
+per-tap markdown summaries (the same deterministic text formats as the
+plot-based reports, minus the images) plus a machine-readable
+bundle_metrics.json. The plot-based runner (report/bundle.py) remains the
+full-fidelity path; this one is for tight DSP iteration loops where the
+numbers are what matters.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from audio_analysis_tpu.engine import EngineConfig, analyze_bundle
+from audio_analysis_tpu.io.bundle import load_bundle_batch
+
+
+@dataclass(frozen=True)
+class EngineBundleSettings:
+    reports_subdir: str = "reports"
+    use_mono_downmix_for_stereo: bool = False
+    config: EngineConfig = EngineConfig()
+    chunk_taps: int = 16
+
+
+_BAND_NAMES = ("Low", "Mid", "High")
+
+
+def _fit_line(out: Dict[str, np.ndarray], name: str, b: int, c: int) -> str:
+    """One decay-fit summary line in the decay.py:530-538 format."""
+    label = name.upper()
+    ranges = {"edt": (0.0, -10.0), "t20": (-5.0, -25.0), "t30": (-5.0, -35.0)}[name]
+    if not bool(out[f"{name}_ok"][b, c]):
+        return f"  {label}: NA"
+    return (
+        f"  {label}: "
+        f"range=[{ranges[0]:.1f},{ranges[1]:.1f}]dB "
+        f"time=[{out[f'{name}_t_start'][b, c]:.4f},{out[f'{name}_t_end'][b, c]:.4f}]s "
+        f"slope={out[f'{name}_slope'][b, c]:.6f}dB/s "
+        f"r2={out[f'{name}_r2'][b, c]:.6f} "
+        f"rt60={out[f'{name}_rt60'][b, c]:.4f}s"
+    )
+
+
+def format_tap_summary(
+    out: Dict[str, np.ndarray],
+    b: int,
+    channel_names: List[str],
+    sample_rate_hz: int,
+    config: EngineConfig,
+) -> str:
+    """All per-tap deterministic summaries in the reference text formats."""
+    md: List[str] = []
+
+    md.append("## Decay / EDC\n\n```text")
+    for c, ch in enumerate(channel_names):
+        md.append(f"[{ch}] analysis_start_sample_index={int(out['start_index'][b, c])}")
+        if bool(out["early10_ok"][b, c]):
+            md.append(f"  early_0_to_-10_time={out['early10_time'][b, c]:.4f}s")
+        else:
+            md.append("  early_0_to_-10_time=NA")
+        for name in ("edt", "t20", "t30"):
+            md.append(_fit_line(out, name, b, c))
+        md.append("")
+    md.append("```\n")
+
+    if "band_t30_rt60" in out:
+        md.append("## RT60 by band\n\n```text")
+        for c, ch in enumerate(channel_names):
+            md.append(f"[{ch}]")
+            md.append("Band  T30_RT60(s)")
+            for bi, band in enumerate(_BAND_NAMES):
+                ok = bool(out["band_t30_ok"][b, c, bi])
+                value = f"{out['band_t30_rt60'][b, c, bi]:.3f}" if ok else "NA"
+                md.append(f"{band}  {value}")
+            md.append("")
+        md.append("```\n")
+
+    if "fr_peak_hz" in out:
+        md.append("## Frequency response\n\n```text")
+        for c, ch in enumerate(channel_names):
+            md.append(
+                f"[{ch}] start_sample={int(out['start_index'][b, c])}  "
+                f"len_samples={int(out['segment_length'][b, c])}  "
+                f"peak={out['fr_peak_hz'][b, c]:.1f}Hz  "
+                f"centroid={out['fr_centroid_hz'][b, c]:.1f}Hz"
+            )
+        md.append("```\n")
+
+    if "gd_median" in out:
+        md.append("## Group delay\n\n```text\nGroup delay summary:")
+        for c, ch in enumerate(channel_names):
+            md.append(
+                f"- {ch}: gd median={out['gd_median'][b, c]:.3f} samples, "
+                f"p10={out['gd_p10'][b, c]:.3f}, p90={out['gd_p90'][b, c]:.3f}"
+            )
+        md.append("```\n")
+
+    if "stft_num_frames" in out:
+        md.append("## Spectrogram\n\n```text")
+        for c, ch in enumerate(channel_names):
+            seg = int(out["segment_length"][b, c])
+            md.append(
+                f"[{ch}] start_sample={int(out['start_index'][b, c])}  "
+                f"len_samples={seg}  dur={seg / sample_rate_hz:.3f}s  "
+                f"stft(n_fft={config.n_fft}, frames={int(out['stft_num_frames'][b, c])})"
+            )
+        md.append("```\n")
+
+    if "diff_median_autocorr" in out:
+        md.append("## Diffusion / echo density proxy\n\n```text")
+        for c, ch in enumerate(channel_names):
+            md.append(f"[{ch}]")
+            md.append(f"  median_max_abs_autocorr={out['diff_median_autocorr'][b, c]:.3f}")
+            md.append(f"  median_echo_density={out['diff_median_echo_density'][b, c]:.3f}")
+            if len(channel_names) == 2:
+                md.append(f"  median_corr0={out['diff_median_corr0'][b]:.3f}")
+                md.append(f"  median_iacc_max={out['diff_median_iacc'][b]:.3f}")
+        md.append("```\n")
+
+    if "modal_count" in out:
+        md.append("## Modal cloud\n\n```text")
+        for c, ch in enumerate(channel_names):
+            seg = int(out["segment_length"][b, c])
+            md.append(
+                f"[{ch}] metric=t30 start_sample={int(out['start_index'][b, c])} "
+                f"dur={seg / sample_rate_hz:.3f}s points={int(out['modal_count'][b, c])}"
+            )
+            if int(out["modal_count"][b, c]) > 0:
+                md.append(
+                    f"  rt60: median={out['modal_median_rt60'][b, c]:.3f}s  "
+                    f"p90={out['modal_p90_rt60'][b, c]:.3f}s  "
+                    f"max={out['modal_max_rt60'][b, c]:.3f}s"
+                )
+        md.append("```\n")
+
+    return "\n".join(md)
+
+
+def run_bundle_report_engine(
+    bundle_root: str | Path,
+    settings: Optional[EngineBundleSettings] = None,
+) -> Path:
+    """Fused-engine bundle analysis: per-tap summary md + bundle_metrics.json."""
+    if settings is None:
+        settings = EngineBundleSettings()
+
+    bundle_root = Path(bundle_root)
+    start_total = time.perf_counter()
+
+    meta, batch, lengths, names = load_bundle_batch(bundle_root)
+    load_seconds = time.perf_counter() - start_total
+
+    if settings.use_mono_downmix_for_stereo:
+        batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
+        channel_names = ["mono"]
+    else:
+        channel_names = ["left", "right"]
+
+    config = settings.config
+    if config.sample_rate_hz != meta.sample_rate_hz:
+        from dataclasses import replace
+
+        config = replace(config, sample_rate_hz=meta.sample_rate_hz)
+
+    start_compute = time.perf_counter()
+    out = analyze_bundle(batch, lengths, config, settings.chunk_taps)
+    compute_seconds = time.perf_counter() - start_compute
+
+    reports_root = bundle_root / settings.reports_subdir
+    reports_root.mkdir(parents=True, exist_ok=True)
+
+    index_lines = [
+        "# IR Bundle Report (engine)\n",
+        f"**Bundle:** `{bundle_root}`\n",
+        f"**Sample rate:** {meta.sample_rate_hz}\n",
+        f"**Length (samples):** {meta.length_samples}\n",
+        f"**Taps:** {len(names)}  |  load {load_seconds:.3f}s  |  "
+        f"analysis {compute_seconds:.3f}s\n",
+        "\n## Taps\n",
+    ]
+
+    for b, tap in enumerate(names):
+        out_dir = reports_root / tap
+        out_dir.mkdir(parents=True, exist_ok=True)
+        body = format_tap_summary(out, b, channel_names, meta.sample_rate_hz, config)
+        header = (
+            "# Offline Reverb Analysis Report (engine)\n\n"
+            f"**Tap:** `{tap}`  \n"
+            f"**Sample rate:** {meta.sample_rate_hz} Hz  \n"
+            f"**Samples:** {int(lengths[b])}\n\n---\n\n"
+        )
+        (out_dir / f"{tap}_report.md").write_text(header + body)
+        index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{tap}_report.md)")
+
+    # machine-readable dump of every metric
+    metrics_json = {
+        "taps": names,
+        "channels": channel_names,
+        "load_seconds": load_seconds,
+        "compute_seconds": compute_seconds,
+        # NaN/Infinity are emitted as-is (Python json extension) for
+        # unavailable metrics; consumers should parse with the same.
+        "metrics": {k: np.asarray(v).tolist() for k, v in out.items()},
+    }
+    (reports_root / "bundle_metrics.json").write_text(json.dumps(metrics_json, indent=1))
+
+    index_path = reports_root / "bundle_report.md"
+    index_path.write_text("\n".join(index_lines) + "\n")
+    return index_path

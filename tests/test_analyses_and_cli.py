@@ -1,0 +1,259 @@
+"""End-to-end tests: analysis modules, CLIs, report + bundle contracts."""
+
+import re
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_analysis_tpu.io import write_bundle, write_wav_pcm16
+
+
+SR = 48_000
+
+
+@pytest.fixture(scope="module")
+def ir_wav(tmp_path_factory):
+    """Synthetic stereo verb IR with known RT60 = 0.8 s, peak at sample 480."""
+    n = 1 << 16
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / SR
+    env = 10.0 ** (-3.0 * t / 0.8)
+    ir = np.zeros((n, 2), np.float32)
+    ir[480:, 0] = (0.05 * rng.standard_normal(n - 480) * env[: n - 480]).astype(np.float32)
+    ir[480:, 1] = (0.05 * rng.standard_normal(n - 480) * env[: n - 480]).astype(np.float32)
+    ir[480, :] = 0.9
+    path = tmp_path_factory.mktemp("ir") / "verb_ir.wav"
+    write_wav_pcm16(path, ir, SR)
+    return path
+
+
+def test_decay_recovers_known_rt60(ir_wav):
+    from audio_analysis_tpu.analyses import decay
+
+    results = decay.analyse_decay_from_wav_file(
+        ir_wav, decay.DecayAnalysisSettings(compute_edt=True)
+    )
+    assert [r.channel_name for r in results] == ["left", "right"]
+    for r in results:
+        assert r.analysis_start_sample_index == 480
+        for name in ("EDT", "T20", "T30"):
+            assert name in r.fits
+            assert abs(r.fits[name].rt60_seconds - 0.8) / 0.8 < 0.05
+            assert r.fits[name].r_squared > 0.99
+
+    text = decay.summarise_decay_results_text(results)
+    assert "[left] analysis_start_sample_index=480" in text
+    assert re.search(r"T30: range=\[-5\.0,-35\.0\]dB .* rt60=0\.7\d{3}s", text)
+
+
+def test_decay_summary_format_contract(ir_wav):
+    """The exact reference line shapes (decay.py:502-542) are preserved."""
+    from audio_analysis_tpu.analyses import decay
+
+    results = decay.analyse_decay_from_wav_file(ir_wav)
+    text = decay.summarise_decay_results_text(results)
+    lines = text.splitlines()
+    assert lines[0].startswith("[left] analysis_start_sample_index=")
+    assert lines[1].startswith("  early_0_to_-10_time=")
+    assert lines[2] == "  EDT: NA"  # compute_edt defaults to False
+    assert re.match(
+        r"  T20: range=\[-5\.0,-25\.0\]dB time=\[\d+\.\d{4},\d+\.\d{4}\]s "
+        r"slope=-?\d+\.\d{6}dB/s r2=\d\.\d{6} rt60=\d+\.\d{4}s",
+        lines[3],
+    )
+
+
+def test_rt60bands_frequency_dependent_decay(tmp_path):
+    """Frequency-dependent decay is resolved per band.
+
+    Content: 600-1800 Hz decaying at 0.7 s and >2500 Hz at 0.4 s. The Mid
+    and High bands must recover those numbers. The Low band of a synthetic
+    gated-noise signal is dominated by circular-filtering seam ringing —
+    a property of the FFT-mask method itself (the reference's own golden
+    shows "Low 86.019 s", verb_report.md:45) — so it only gets an ordering
+    assertion.
+    """
+    n = 1 << 17
+    pre = 4800  # 0.1 s lead-in: keeps circular filter pre-ring out of the tail
+    rng = np.random.default_rng(11)
+    t = np.arange(n - pre) / SR
+    noise = rng.standard_normal(n - pre)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(n - pre, 1 / SR)
+    mid = np.fft.irfft(spec * ((freqs > 600) & (freqs < 1800)), n=n - pre)
+    high = np.fft.irfft(spec * (freqs > 2500), n=n - pre)
+    tail = mid * 10 ** (-3 * t / 0.7) + high * 10 ** (-3 * t / 0.4)
+    x = np.concatenate([np.zeros(pre), tail])
+    x /= np.abs(x).max() * 1.05
+    path = tmp_path / "twoband.wav"
+    write_wav_pcm16(path, np.stack([x, x], axis=1).astype(np.float32), SR)
+
+    from audio_analysis_tpu.analyses import rt60bands
+
+    results = rt60bands.analyse_rt60_bands_from_wav_file(path)
+    metrics = results[0].band_metrics_by_name
+    mid_rt = metrics["Mid"].rt60_t30_seconds
+    high_rt = metrics["High"].rt60_t30_seconds
+    assert abs(mid_rt - 0.7) / 0.7 < 0.15
+    assert abs(high_rt - 0.4) / 0.4 < 0.15
+    low_rt = metrics["Low"].rt60_t30_seconds
+    assert low_rt is None or low_rt > high_rt
+
+
+def test_octave_mode_band_table(ir_wav):
+    from audio_analysis_tpu.analyses import rt60bands
+
+    settings = rt60bands.Rt60BandsAnalysisSettings(band_mode="octave", include_t20=True)
+    results = rt60bands.analyse_rt60_bands_from_wav_file(ir_wav, settings)
+    text = rt60bands.summarise_rt60_bands_results_text(results, include_t20=True, include_edt=False)
+    assert "Band  T30_RT60(s)  T20_RT60(s)" in text
+    assert "1000Hz" in text
+
+
+def test_deconvolve_roundtrip_recovers_rt60(tmp_path):
+    """gen sweep -> convolve with known IR -> deconvolve -> decay: SURVEY §4."""
+    from audio_analysis_tpu import signals as sig
+    from audio_analysis_tpu.analyses import decay, deconvolve
+
+    sweep = sig.generate_log_sine_sweep(
+        SR, 2.0, 10.0, 23000.0, pre_silence_seconds=0.1, post_silence_seconds=1.0
+    ).samples
+
+    rt60_true = 0.5
+    n_ir = 1 << 15
+    rng = np.random.default_rng(2)
+    t = np.arange(n_ir) / SR
+    h = (0.1 * rng.standard_normal(n_ir) * 10 ** (-3 * t / rt60_true)).astype(np.float32)
+    h[0] = 1.0
+
+    recorded = np.convolve(sweep, h)[: sweep.size + n_ir].astype(np.float32)
+    recorded /= np.abs(recorded).max() * 1.2
+
+    sweep_path = tmp_path / "sweep.wav"
+    rec_path = tmp_path / "recorded.wav"
+    write_wav_pcm16(sweep_path, sweep, SR)
+    write_wav_pcm16(rec_path, recorded, SR)
+
+    ir = deconvolve.deconvolve_from_wav_files(
+        rec_path, sweep_path, output_ir_wav_file_path=tmp_path / "out_ir.wav"
+    )
+    assert (tmp_path / "out_ir.wav").exists()
+
+    results = decay.analyse_decay_from_wav_file(tmp_path / "out_ir.wav")
+    # T20 (the shallower fit) is robust to the deconvolution noise floor in
+    # the IR tail; T30 reaches deeper and picks up a few % of bias.
+    rt60_est = results[0].fits["T20"].rt60_seconds
+    assert abs(rt60_est - rt60_true) / rt60_true < 0.12
+    assert abs(results[0].fits["T30"].rt60_seconds - rt60_true) / rt60_true < 0.25
+
+
+def test_gen_cli_to_analyse_cli_pipeline(tmp_path, capsys):
+    """Drive both CLIs exactly as a reference user would."""
+    from audio_analysis_tpu.cli import analyse_cli, gen_cli
+
+    gen_cli.main(["--output-dir", str(tmp_path), "karplus_pluck", "--duration_seconds", "0.7"])
+    capsys.readouterr()
+
+    analyse_cli.main(
+        [
+            "decay",
+            "--input",
+            str(tmp_path / "karplus_pluck.wav"),
+            "--output",
+            str(tmp_path / "kp"),
+            "--no_show",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "analysis_start_sample_index=" in out
+    assert (tmp_path / "kp_decay.png").exists()
+
+
+def test_report_writes_full_artifact_set(ir_wav, tmp_path):
+    from audio_analysis_tpu.report import ReportSettings, run_report_from_wav_file
+
+    base = tmp_path / "rep" / "verb"
+    results = run_report_from_wav_file(ir_wav, base, ReportSettings())
+
+    for suffix in (
+        "",
+        "_early",
+        "_tail",
+        "_decay",
+        "_rt60bands",
+        "_fr",
+        "_groupdelay_left",
+        "_groupdelay_right",
+        "_spectrogram_left",
+        "_spectrogram_right",
+        "_waterfall_left",
+        "_waterfall_right",
+        "_diffusion",
+        "_modalcloud_left",
+        "_modalcloud_right",
+    ):
+        assert (base.parent / f"verb{suffix}.png").exists(), suffix
+
+    md = results.summary_markdown
+    assert md.startswith("# Offline Reverb Analysis Report")
+    for section in (
+        "## Impulse response",
+        "## Decay / EDC",
+        "## RT60 by band",
+        "## Frequency response",
+        "## Group delay",
+        "## Spectrogram",
+        "## Waterfall",
+        "## Diffusion / echo density proxy",
+        "## Modal cloud",
+    ):
+        assert section in md, section
+    assert (base.parent / "verb_report.md").read_text() == md
+
+
+def test_report_mono_mode(ir_wav, tmp_path):
+    from audio_analysis_tpu.report import ReportSettings, run_report_from_wav_file
+
+    base = tmp_path / "mono" / "verb"
+    run_report_from_wav_file(
+        ir_wav,
+        base,
+        ReportSettings(
+            common_use_mono_downmix_for_stereo=True,
+            run_waterfall=False,
+            run_modal_cloud=False,
+            run_group_delay=False,
+        ),
+    )
+    assert (base.parent / "verb_spectrogram_mono.png").exists()
+    assert not (base.parent / "verb_spectrogram_left.png").exists()
+
+
+def test_bundle_runner_and_failure_isolation(tmp_path):
+    from audio_analysis_tpu.report import BundleRunSettings, ReportSettings, run_bundle_report
+
+    n = 1 << 14
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / SR
+    good = np.zeros((n, 2), np.float32)
+    good[10:, :] = (0.05 * rng.standard_normal((n - 10, 2)) * 10 ** (-3 * t[: n - 10, None] / 0.25))
+    good[10, :] = 0.9
+
+    root = write_bundle(tmp_path / "run", {"good": good, "bad": good}, SR)
+    # corrupt one tap to exercise per-tap isolation
+    (root / "taps" / "bad.wav").write_bytes(b"not a wav file")
+
+    fast = ReportSettings(
+        run_waterfall=False, run_modal_cloud=False, run_group_delay=False, run_spectrogram=False
+    )
+    index = run_bundle_report(root, BundleRunSettings(report_settings=fast))
+    content = index.read_text()
+    assert "- [good](reports/good/good_report.md)" in content
+    assert "bad: FAILED" in content
+    assert (root / "reports" / "bad" / "error.txt").exists()
+    assert (root / "reports" / "good" / "good_report.md").exists()
+
+    # resume skips the completed tap
+    index2 = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
+    assert "(cached)" in index2.read_text()
