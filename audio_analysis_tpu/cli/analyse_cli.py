@@ -105,6 +105,16 @@ def _add_output_noshow(p: argparse.ArgumentParser, help_text: str, underscore: b
     flag = "--no_show" if underscore else "--no-show"
     p.add_argument(flag, dest="no_show", action="store_true",
                    help="Do not display plots interactively (useful when saving files).")
+    p.add_argument("--json", dest="json_path", type=str, default=None,
+                   help="Also write the result pytree as JSON to this path.")
+
+
+def _maybe_write_json(args: argparse.Namespace, results) -> None:
+    json_path = getattr(args, "json_path", None)
+    if json_path:
+        from audio_analysis_tpu.utils import write_results_json
+
+        print(f"Wrote JSON: {write_results_json(json_path, results)}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -414,6 +424,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_decay_results_text(results))
         return
 
@@ -450,6 +461,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(
             summarise_rt60_bands_results_text(
                 results, include_t20=rt_settings.include_t20, include_edt=rt_settings.include_edt
@@ -476,6 +488,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_frequency_response_results_text(results))
         return
 
@@ -498,6 +511,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_filter_response_results_text(results))
         return
 
@@ -522,6 +536,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_spectrogram_results_text(results))
         return
 
@@ -541,6 +556,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_diffusion_results_text(results))
         return
 
@@ -577,6 +593,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_waterfall_results_text(results))
         return
 
@@ -612,6 +629,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_modal_cloud_results_text(results))
         return
 
@@ -632,6 +650,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_zplane_results_text(results))
         return
 
@@ -652,6 +671,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         print(summarise_group_delay_results_text(results))
         return
 

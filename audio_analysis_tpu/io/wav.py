@@ -123,17 +123,36 @@ def validate_audio_format(
         )
 
 
+_RAW_CACHE: dict = {}
+_RAW_CACHE_MAX = 4
+
+
 def _read_wav_raw(path: Path) -> Tuple[int, np.ndarray]:
-    """Read a WAV file, preferring the native loader when built."""
+    """
+    Read a WAV file, preferring the native loader when built.
+
+    A tiny mtime-keyed cache absorbs the reference workflow's repeated
+    reads: each report re-opens its input ~10x (once per analysis module,
+    report.py:222-398 in the reference); decode once instead.
+    """
+    key = (str(path), path.stat().st_mtime_ns)
+    if key in _RAW_CACHE:
+        return _RAW_CACHE[key]
+
     from audio_analysis_tpu.io import native
 
     if native.available():
-        return native.read_wav(path)
+        result = native.read_wav(path)
+    else:
+        from scipy.io import wavfile
 
-    from scipy.io import wavfile
+        sample_rate_hz, data = wavfile.read(str(path))
+        result = (int(sample_rate_hz), data)
 
-    sample_rate_hz, data = wavfile.read(str(path))
-    return int(sample_rate_hz), data
+    if len(_RAW_CACHE) >= _RAW_CACHE_MAX:
+        _RAW_CACHE.pop(next(iter(_RAW_CACHE)))
+    _RAW_CACHE[key] = result
+    return result
 
 
 def load_wav_file(

@@ -38,7 +38,13 @@ def run_bundle_report(
         settings = BundleRunSettings()
 
     bundle_root = Path(bundle_root)
-    meta = json.loads((bundle_root / "meta.json").read_text())
+    meta_path = bundle_root / "meta.json"
+    if not meta_path.exists():
+        raise ValueError(
+            f"Not a capture bundle: {bundle_root} has no meta.json "
+            "(expected the recorder layout: meta.json + taps/*.wav)"
+        )
+    meta = json.loads(meta_path.read_text())
     tap_names: List[str] = list(meta.get("taps", []))
     taps_dir = bundle_root / "taps"
 

@@ -155,6 +155,11 @@ def run_bundle_report_engine(
         settings = EngineBundleSettings()
 
     bundle_root = Path(bundle_root)
+    if not (bundle_root / "meta.json").exists():
+        raise ValueError(
+            f"Not a capture bundle: {bundle_root} has no meta.json "
+            "(expected the recorder layout: meta.json + taps/*.wav)"
+        )
     start_total = time.perf_counter()
 
     meta, batch, lengths, names = load_bundle_batch(bundle_root)
