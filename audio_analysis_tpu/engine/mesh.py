@@ -27,10 +27,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audio_analysis_tpu.engine.batch import EngineConfig, analyze_batch
 
-try:  # jax >= 0.4.30 style
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.maps import shard_map  # type: ignore
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
 
 
 def make_mesh(num_devices: Optional[int] = None, platform: Optional[str] = None) -> Mesh:
@@ -76,6 +76,13 @@ def analyze_batch_sharded(
     Padded taps (to make B divisible by the mesh) are trimmed from the
     per-tap outputs and excluded from aggregates.
     """
+    # The Pallas EDC kernel doesn't participate in shard_map (vma metadata
+    # is unsupported for pallas outputs in this jax version, and virtual CPU
+    # meshes can't lower the TPU kernel) — the jnp EDC is equivalent.
+    import dataclasses
+
+    config = dataclasses.replace(config, use_pallas_edc=False)
+
     n_shards = mesh.shape["taps"]
     batch_p, lengths_p, pad = _pad_to_multiple(
         np.asarray(batch, np.float32), np.asarray(lengths, np.int32), n_shards

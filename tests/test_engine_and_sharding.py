@@ -102,8 +102,10 @@ def test_sharded_engine_matches_unsharded(tap_batch):
     sharded = analyze_batch_sharded(mesh, batch, lengths, config)
     local = analyze_bundle(batch, lengths, config, chunk_taps=8)
 
+    # sharded runs on the CPU mesh (jnp EDC), local on the default backend
+    # (TPU + Pallas EDC here): cross-platform f32 tolerance
     np.testing.assert_allclose(
-        np.asarray(sharded["t30_rt60"]), local["t30_rt60"], rtol=1e-4
+        np.asarray(sharded["t30_rt60"]), local["t30_rt60"], rtol=1e-3
     )
     assert np.isfinite(float(sharded["bundle_median_t30"]))
     assert int(sharded["bundle_valid_taps"]) == 8

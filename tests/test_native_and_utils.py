@@ -1,0 +1,131 @@
+"""Native loader dtype coverage, JSON emission, timing utils, filter study."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audio_analysis_tpu.io import load_wav_file, native
+
+SR = 48_000
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+class TestNativeLoader:
+    def test_float32_wav(self, tmp_path):
+        from scipy.io import wavfile
+
+        x = (0.25 * np.sin(2 * np.pi * 500 * np.arange(4096) / SR)).astype(np.float32)
+        p = tmp_path / "f32.wav"
+        wavfile.write(str(p), SR, np.stack([x, -x], axis=1))
+        rate, data = native.read_wav(p)
+        assert rate == SR
+        np.testing.assert_allclose(data[:, 0], x, atol=1e-7)
+        np.testing.assert_allclose(data[:, 1], -x, atol=1e-7)
+
+    def test_int32_wav(self, tmp_path):
+        from scipy.io import wavfile
+
+        x = (np.linspace(-0.9, 0.9, 1000) * 2147483647).astype(np.int32)
+        p = tmp_path / "i32.wav"
+        wavfile.write(str(p), SR, x)
+        rate, data = native.read_wav(p)
+        np.testing.assert_allclose(data, x.astype(np.float64) / 2147483648.0, atol=1e-6)
+
+    def test_float64_wav(self, tmp_path):
+        from scipy.io import wavfile
+
+        x = np.linspace(-0.5, 0.5, 777)
+        p = tmp_path / "f64.wav"
+        wavfile.write(str(p), SR, x)
+        rate, data = native.read_wav(p)
+        np.testing.assert_allclose(data, x, atol=1e-6)
+
+    def test_native_matches_scipy_via_loader(self, tmp_path):
+        """load_wav_file must give identical results whichever path decodes."""
+        from scipy.io import wavfile
+
+        x = (np.random.default_rng(0).standard_normal((2048, 2)) * 0.2).astype(np.float32)
+        p = tmp_path / "x.wav"
+        wavfile.write(str(p), SR, (x * 32767).astype(np.int16))
+
+        via_loader = load_wav_file(p, expected_channel_mode="stereo").samples
+        sr2, raw = wavfile.read(str(p))
+        expected = np.clip(raw.astype(np.float32) / 32768.0, -1, 1)
+        np.testing.assert_allclose(via_loader, expected, atol=1e-7)
+
+    def test_probe_error_on_garbage(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"definitely not a wav")
+        with pytest.raises(IOError):
+            native.read_wav_info(p)
+
+
+def test_json_emission_roundtrip(tmp_path):
+    from audio_analysis_tpu.analyses import decay
+    from audio_analysis_tpu.utils import write_results_json
+
+    n = 1 << 14
+    t = np.arange(n) / SR
+    x = (0.3 * np.exp(-3 * t / 0.3) * np.random.default_rng(1).standard_normal(n)).astype(
+        np.float32
+    )
+    x[0] = 0.9
+    result = decay.analyse_decay_for_channel(x, SR, "mono", decay.DecayAnalysisSettings())
+
+    path = write_results_json(tmp_path / "r.json", [result])
+    data = json.loads(path.read_text())
+    assert data[0]["channel_name"] == "mono"
+    assert abs(data[0]["fits"]["T30"]["rt60_seconds"] - result.fits["T30"].rt60_seconds) < 1e-9
+    # big arrays are summarised, not inlined
+    assert isinstance(data[0]["edc_db"], (dict, list))
+    if isinstance(data[0]["edc_db"], dict):
+        assert data[0]["edc_db"]["shape"] == [int(result.edc_db.size)]
+
+
+def test_block_timer_markdown():
+    import time as _time
+
+    from audio_analysis_tpu.utils import BlockTimer
+
+    timer = BlockTimer()
+    with timer.block("a"):
+        _time.sleep(0.01)
+    with timer.block("b"):
+        pass
+    md = timer.as_markdown()
+    assert "## Timing" in md and "| a |" in md and "| b |" in md
+    assert timer.total_seconds() >= 0.01
+
+
+def test_one_pole_filter_study():
+    from audio_analysis_tpu.analyses.filter_response_study import attenuation_error_curves
+
+    fc, err_exp, err_tan = attenuation_error_curves()
+    # both mappings are near-exact at low fc and diverge measurably toward
+    # Nyquist (the point of the study)
+    low = fc < 1000
+    assert np.all(np.abs(err_tan[low]) < 0.1)
+    assert np.all(np.abs(err_exp[low]) < 0.1)
+    assert np.abs(err_exp).max() > 0.5
+    assert np.abs(err_tan).max() > 0.5
+
+
+def test_wav_decode_cache(tmp_path):
+    """Re-loading the same file hits the cache; rewriting invalidates it."""
+    from audio_analysis_tpu.io import write_wav_pcm16
+    from audio_analysis_tpu.io.wav import _RAW_CACHE
+
+    p = tmp_path / "c.wav"
+    write_wav_pcm16(p, np.ones(1000, np.float32) * 0.5, SR)
+    a = load_wav_file(p, expected_channel_mode="mono_or_stereo")
+    assert any(str(p) == k[0] for k in _RAW_CACHE)
+
+    import os
+    import time as _time
+
+    _time.sleep(0.01)
+    write_wav_pcm16(p, np.ones(1000, np.float32) * -0.5, SR)
+    os.utime(p)
+    b = load_wav_file(p, expected_channel_mode="mono_or_stereo")
+    assert b.samples[0, 0] < 0 < a.samples[0, 0]
