@@ -19,7 +19,6 @@ import numpy as np
 
 from audio_analysis_tpu.analyses._common import load_channels, suffixed_png
 from audio_analysis_tpu.ops import spectral, trim
-from audio_analysis_tpu.ops.common import next_pow2
 from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
 
 _MAX_FFT = 1 << 20

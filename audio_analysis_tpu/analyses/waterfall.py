@@ -20,7 +20,6 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.analyses.spectrogram import SpectrogramAnalysisSettings
 from audio_analysis_tpu.ops import logfreq, stft, trim
 from audio_analysis_tpu.plot import (
     DEFAULT_DPI,

@@ -13,8 +13,6 @@ import argparse
 from pathlib import Path
 from typing import Tuple
 
-import numpy as np
-
 from audio_analysis_tpu.io.wav import write_wav_pcm16
 from audio_analysis_tpu import signals as sig
 

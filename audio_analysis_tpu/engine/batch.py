@@ -19,7 +19,6 @@ further device work.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Tuple
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_analysis_tpu.ops import dbfit, diffusion as dops, edc, fftmask, logfreq, stft, trim
-from audio_analysis_tpu.ops.common import bool_valid_mask, hann_window_dynamic
+from audio_analysis_tpu.ops.common import hann_window_dynamic
 
 
 def enable_persistent_compilation_cache() -> None:
@@ -243,39 +242,57 @@ def analyze_batch(
         out["gd_p90"] = jnp.nanpercentile(gd_sel, 90.0, axis=-1)
 
     # ---- shared STFT (spectrogram + waterfall consume this one) ----
+    # The (B, C, T, n_fft) frame intermediates are the HBM high-water mark
+    # at bundle scale; lax.map over taps bounds them to one tap at a time
+    # while each tap still batch-FFTs thousands of frames.
     if config.run_stft:
-        st = stft.stft_mag_db(
-            aligned.samples,
-            aligned.length,
-            config.n_fft,
-            config.hop_length,
-            True,
-            config.magnitude_floor_db,
-        )
-        out["stft_num_frames"] = st.num_frames
+        def stft_one(args):
+            samples_1, length_1 = args
+            st = stft.stft_mag_db(
+                samples_1,
+                length_1,
+                config.n_fft,
+                config.hop_length,
+                True,
+                config.magnitude_floor_db,
+            )
+            return st.num_frames, jnp.max(st.mag_db, axis=(-2, -1))
+
+        num_frames, global_max = jax.lax.map(stft_one, (aligned.samples, aligned.length))
+        out["stft_num_frames"] = num_frames
         # waterfall-style global max per (tap, channel) — plot normalisation
-        out["stft_global_max_db"] = jnp.max(st.mag_db, axis=(-2, -1))
+        out["stft_global_max_db"] = global_max
 
     # ---- modal cloud ----
     if config.run_modal:
-        stm = stft.stft_mag_db(
-            aligned.samples,
-            aligned.length,
-            config.modal_n_fft,
-            config.hop_length,
-            True,
-            config.magnitude_floor_db,
-        )
         centres, bin_matrix, nonempty = _modal_bin_matrix(config)
-        curves_db = logfreq.aggregate_db_to_log_bins(stm.mag_db, jnp.asarray(bin_matrix))
+        bin_matrix_dev = jnp.asarray(bin_matrix)
+
+        def modal_one(args):
+            samples_1, length_1 = args
+            stm1 = stft.stft_mag_db(
+                samples_1,
+                length_1,
+                config.modal_n_fft,
+                config.hop_length,
+                True,
+                config.magnitude_floor_db,
+            )
+            curves1 = logfreq.aggregate_db_to_log_bins(stm1.mag_db, bin_matrix_dev)
+            return curves1, stm1.num_frames
+
+        # per-tap mapping bounds the 8192-FFT frame intermediates in HBM
+        curves_db, modal_num_frames = jax.lax.map(
+            modal_one, (aligned.samples, aligned.length)
+        )
         # mask frames past validity out of the per-bin peak
-        t_total = stm.mag_db.shape[-2]
-        frame_valid = jnp.arange(t_total) < stm.num_frames[..., None]
+        t_total = curves_db.shape[-1]
+        frame_valid = jnp.arange(t_total) < modal_num_frames[..., None]
         curves_db = jnp.where(frame_valid[..., None, :], curves_db, config.magnitude_floor_db)
         peak = jnp.max(curves_db, axis=-1, keepdims=True)
         rel = curves_db - peak
         frame_rate = sr / config.hop_length
-        frame_len = jnp.broadcast_to(stm.num_frames[..., None], rel.shape[:-1])
+        frame_len = jnp.broadcast_to(modal_num_frames[..., None], rel.shape[:-1])
         fit = dbfit.fit_decay_slope_over_db_range(
             rel,
             frame_len,

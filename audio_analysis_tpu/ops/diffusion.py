@@ -19,7 +19,7 @@ frames of all taps/channels run in a single fused program.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ import numpy as np
 SR = 48_000
 BATCH = 64
 NUM_SAMPLES = 1 << 20
-CHUNK = 8
+CHUNK = 16
 
 
 def _bench_config():
@@ -45,6 +45,36 @@ def _bench_config():
         run_diffusion=False,
         run_stft=True,
     )
+
+
+def bench_full_engine(chunks, lengths) -> float:
+    """Wall-clock for the FULL engine (every report metric) over the bundle.
+
+    Runs at half-chunks: the full config's modal 8192-FFT intermediates are
+    the HBM high-water mark.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_analysis_tpu.engine import EngineConfig
+    from audio_analysis_tpu.engine.batch import analyze_batch_flat, _flat_spec, unpack_flat
+
+    config = EngineConfig()
+    half = CHUNK // 2
+    halves = []
+    for ch in chunks:
+        halves.append(ch[:half])
+        halves.append(ch[half:])
+    lengths_half = lengths[:half]
+    spec = _flat_spec((half, 2, NUM_SAMPLES), (half,), config)
+    _ = np.asarray(analyze_batch_flat(halves[0], lengths_half, config))  # compile
+
+    start = time.perf_counter()
+    flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
+    results = [unpack_flat(np.asarray(f), spec) for f in flats]
+    elapsed = time.perf_counter() - start
+    assert all(np.all(r["t30_ok"]) for r in results)
+    return elapsed
 
 
 def bench_device() -> dict:
@@ -92,9 +122,12 @@ def bench_device() -> dict:
     _ = np.asarray(analyze_batch_flat(jnp.asarray(host_chunk), lengths, config))
     upload_elapsed = time.perf_counter() - start
 
+    full_engine_seconds = bench_full_engine(chunks, lengths)
+
     return {
         "device_seconds": elapsed,
         "upload_inclusive_seconds_per_chunk": upload_elapsed,
+        "full_engine_seconds": full_engine_seconds,
     }
 
 
@@ -137,6 +170,7 @@ def main() -> None:
                 "unit": "IR/s",
                 "vs_baseline": round(device_irs_per_sec / cpu_irs_per_sec, 2),
                 "device_seconds_64taps": round(device["device_seconds"], 4),
+                "full_report_metrics_seconds_64taps": round(device["full_engine_seconds"], 4),
                 "upload_inclusive_seconds_per_chunk": round(
                     device["upload_inclusive_seconds_per_chunk"], 4
                 ),
