@@ -21,30 +21,51 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("total_samples",))
 def _ks_scan(
-    initial_delay_line: jax.Array,
+    initial_delay_line: jax.Array,  # (delay_len,) or (B, delay_len)
     total_samples: int,
     feedback_decay_factor: jax.Array,
     lowpass_blend: jax.Array,
 ) -> jax.Array:
-    delay_len = initial_delay_line.shape[0]
+    delay_len = initial_delay_line.shape[-1]
 
     def step(carry, _):
         buffer, read_index, prev = carry
-        cur = buffer[read_index]
+        cur = buffer[..., read_index]
         two_point_average = 0.5 * (prev + cur)
         filtered = (1.0 - lowpass_blend) * cur + lowpass_blend * two_point_average
         nxt = feedback_decay_factor * filtered
-        buffer = buffer.at[read_index].set(nxt)
+        buffer = buffer.at[..., read_index].set(nxt)
         read_index = jnp.where(read_index + 1 >= delay_len, 0, read_index + 1)
         return (buffer, read_index, cur), cur
 
     init = (
         initial_delay_line.astype(jnp.float32),
         jnp.array(0, dtype=jnp.int32),
-        initial_delay_line[-1].astype(jnp.float32),
+        initial_delay_line[..., -1].astype(jnp.float32),
     )
     _, out = jax.lax.scan(step, init, None, length=total_samples)
-    return out
+    return out  # (total_samples,) or (total_samples, B)
+
+
+def karplus_strong_batch(
+    initial_delay_lines: np.ndarray,  # (B, delay_len)
+    total_samples: int,
+    feedback_decay_factor: float,
+    lowpass_blend: float,
+) -> np.ndarray:
+    """
+    A whole ensemble of same-pitch Karplus–Strong strings at once: the scan
+    carries a (B, delay_len) buffer so every string advances per step on the
+    VPU — the batch dimension is free (the reference's per-sample Python
+    loop runs one string at a time, signals.py:575-596).
+    """
+    out = _ks_scan(
+        jnp.asarray(initial_delay_lines, dtype=jnp.float32),
+        int(total_samples),
+        jnp.float32(feedback_decay_factor),
+        jnp.float32(lowpass_blend),
+    )
+    return np.asarray(out, dtype=np.float32).T  # (B, total_samples)
 
 
 def karplus_strong_scan(

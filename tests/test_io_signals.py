@@ -215,3 +215,30 @@ def test_karplus_pitch():
     harmonic_offset = abs(peak / fundamental - round(peak / fundamental)) * fundamental
     assert round(peak / fundamental) >= 1
     assert harmonic_offset < 12.0
+
+
+def test_karplus_strong_batch_matches_single():
+    """The vmapped-ensemble scan must equal per-string runs exactly."""
+    from audio_analysis_tpu.signals.jaxgen import karplus_strong_batch, karplus_strong_scan
+
+    rng = np.random.default_rng(5)
+    delays = rng.standard_normal((3, 109)).astype(np.float32)
+    batch = karplus_strong_batch(delays, 500, 0.99, 0.4)
+    assert batch.shape == (3, 500)
+    for i in range(3):
+        single = karplus_strong_scan(delays[i], 500, 0.99, 0.4)
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+def test_unwrap_parity_with_numpy():
+    """jnp.unwrap on a long noisy spectrum must match np.unwrap (SURVEY hard parts)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    x = (rng.standard_normal(1 << 15) * np.exp(-np.arange(1 << 15) / 4000)).astype(np.float64)
+    phase = np.angle(np.fft.rfft(x))
+    expected = np.unwrap(phase)
+    got = np.asarray(jnp.unwrap(jnp.asarray(phase, jnp.float64) if False else jnp.asarray(phase, jnp.float32)))
+    # f32 accumulates over ~16k bins; allow small drift but no 2*pi jumps
+    diff = np.abs(got - expected)
+    assert diff.max() < 0.5  # far below one wrap (2*pi)
