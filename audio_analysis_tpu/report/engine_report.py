@@ -116,6 +116,33 @@ def format_tap_summary(
             )
         md.append("```\n")
 
+    if "stft_num_frames" in out:
+        # waterfall summary derived from the shared STFT (same slice policy
+        # as the analyses module: auto mode, 18 slices, 20-20k display band)
+        from audio_analysis_tpu.analyses.waterfall import (
+            WaterfallAnalysisSettings,
+            select_slice_frame_indices,
+        )
+        from audio_analysis_tpu.ops import stft as stft_ops
+
+        wf_settings = WaterfallAnalysisSettings()
+        freq_hz = stft_ops.rfft_freqs_hz(config.n_fft, sample_rate_hz)
+        f_bins = int(
+            ((freq_hz >= wf_settings.f_min_hz) & (freq_hz <= wf_settings.f_max_hz)).sum()
+        )
+        md.append("## Waterfall\n\n```text")
+        for c, ch in enumerate(channel_names):
+            t_frames = int(out["stft_num_frames"][b, c])
+            times = stft_ops.frame_times_seconds(t_frames, config.hop_length, sample_rate_hz)
+            slices = select_slice_frame_indices(times, wf_settings).size
+            seg = int(out["segment_length"][b, c])
+            md.append(
+                f"[{ch}] start_sample={int(out['start_index'][b, c])}  "
+                f"dur={seg / sample_rate_hz:.3f}s  "
+                f"slices={slices}  f_bins={f_bins}"
+            )
+        md.append("```\n")
+
     if "diff_median_autocorr" in out:
         md.append("## Diffusion / echo density proxy\n\n```text")
         for c, ch in enumerate(channel_names):

@@ -129,3 +129,31 @@ def test_wav_decode_cache(tmp_path):
     os.utime(p)
     b = load_wav_file(p, expected_channel_mode="mono_or_stereo")
     assert b.samples[0, 0] < 0 < a.samples[0, 0]
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_native_pcm24_decode(tmp_path):
+    """Hand-crafted 24-bit PCM WAV decodes through the native path."""
+    import struct
+
+    frames = 64
+    values = np.linspace(-0.8, 0.8, frames)
+    ints = (values * 8388607).astype(np.int32)  # 24-bit full scale
+
+    data = bytearray()
+    for v in ints:
+        data += int(v & 0xFFFFFF).to_bytes(3, "little", signed=False)
+
+    fmt = struct.pack("<HHIIHH", 1, 1, SR, SR * 3, 3, 24)
+    riff = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    p = tmp_path / "p24.wav"
+    p.write_bytes(riff)
+
+    nframes, ch, rate = native.read_wav_info(p)
+    assert (nframes, ch, rate) == (frames, 1, SR)
+    rate2, decoded = native.read_wav(p)
+    np.testing.assert_allclose(decoded, values, atol=2e-7)
