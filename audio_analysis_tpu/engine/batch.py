@@ -237,9 +237,11 @@ def analyze_batch(
         dw = 2.0 * jnp.pi / n
         gd = -(jnp.gradient(phase, axis=-1) / dw)
         gd_sel = jnp.where(sel, gd, jnp.nan)
-        out["gd_median"] = jnp.nanmedian(gd_sel, axis=-1)
-        out["gd_p10"] = jnp.nanpercentile(gd_sel, 10.0, axis=-1)
-        out["gd_p90"] = jnp.nanpercentile(gd_sel, 90.0, axis=-1)
+        # one sort for all three statistics (the F-bin sort dominates)
+        q = jnp.nanpercentile(gd_sel, jnp.asarray([10.0, 50.0, 90.0]), axis=-1)
+        out["gd_median"] = q[1]
+        out["gd_p10"] = q[0]
+        out["gd_p90"] = q[2]
 
     # ---- shared STFT (spectrogram + waterfall consume this one) ----
     # The (B, C, T, n_fft) frame intermediates are the HBM high-water mark

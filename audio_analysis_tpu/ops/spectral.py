@@ -153,10 +153,9 @@ def group_delay(
     freqs = np.fft.rfftfreq(n, d=1.0 / float(sample_rate_hz))
     sel = jnp.asarray((freqs >= f_min_hz) & (freqs <= f_max_hz))
     gd_sel = jnp.where(sel, gd, jnp.nan)
-    median = jnp.nanmedian(gd_sel, axis=-1)
-    p10 = jnp.nanpercentile(gd_sel, 10.0, axis=-1)
-    p90 = jnp.nanpercentile(gd_sel, 90.0, axis=-1)
-    return GroupDelayResult(gd, median, p10, p90)
+    # one sort for all three statistics (the F-bin sort dominates this block)
+    q = jnp.nanpercentile(gd_sel, jnp.asarray([10.0, 50.0, 90.0]), axis=-1)
+    return GroupDelayResult(gd, q[1], q[0], q[2])
 
 
 @partial(jax.jit, static_argnames=("n_fft",))

@@ -54,6 +54,30 @@ def test_engine_matches_single_file_analyses(tap_batch):
         abs(out["early10_time"][3, 0] - results.early_decay_10db_time_seconds) < 1e-4
     )
 
+    from audio_analysis_tpu.analyses import frequency_response, group_delay, rt60bands
+
+    fr = frequency_response.analyse_frequency_response_for_channel(
+        batch[3, 0], SR, "left", frequency_response.FrequencyResponseAnalysisSettings()
+    )
+    assert abs(out["fr_peak_hz"][3, 0] - fr.peak_frequency_hz) < 1.0
+    assert abs(out["fr_centroid_hz"][3, 0] - fr.spectral_centroid_hz) / fr.spectral_centroid_hz < 0.01
+
+    bands = rt60bands.analyse_rt60_bands_for_channel(
+        batch[3, 0], SR, "left", rt60bands.Rt60BandsAnalysisSettings()
+    )
+    for bi, name in enumerate(("Low", "Mid", "High")):
+        module_rt = bands.band_metrics_by_name[name].rt60_t30_seconds
+        engine_ok = bool(out["band_t30_ok"][3, 0, bi])
+        assert engine_ok == (module_rt is not None)
+        if module_rt is not None:
+            assert abs(out["band_t30_rt60"][3, 0, bi] - module_rt) / module_rt < 0.01
+
+    gd = group_delay.analyse_group_delay_for_channel(
+        batch[3, 0], SR, "left", group_delay.GroupDelayAnalysisSettings()
+    )
+    module_median = float(np.median(gd.group_delay_samples))
+    assert abs(out["gd_median"][3, 0] - module_median) < max(2.0, 0.02 * abs(module_median))
+
 
 def test_flat_packing_roundtrip(tap_batch):
     batch, lengths = tap_batch
