@@ -270,17 +270,28 @@ def analyze_batch(
         centres, bin_matrix, nonempty = _modal_bin_matrix(config)
         bin_matrix_dev = jnp.asarray(bin_matrix)
 
+        floor_lin = 10.0 ** (config.magnitude_floor_db / 20.0)
+
         def modal_one(args):
             samples_1, length_1 = args
-            stm1 = stft.stft_mag_db(
+            stm1 = stft.stft_magnitude(
                 samples_1,
                 length_1,
                 config.modal_n_fft,
                 config.hop_length,
                 True,
-                config.magnitude_floor_db,
+                floor_lin,
             )
-            curves1 = logfreq.aggregate_db_to_log_bins(stm1.mag_db, bin_matrix_dev)
+            # bin means in LINEAR magnitude (one matmul), dB once at the end
+            binned = jax.lax.dot_general(
+                stm1.mag_db,  # linear magnitude from stft_magnitude
+                bin_matrix_dev.T,
+                dimension_numbers=(((stm1.mag_db.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            curves1 = jnp.swapaxes(
+                20.0 * jnp.log10(jnp.maximum(binned, 1e-30)), -1, -2
+            )
             return curves1, stm1.num_frames
 
         # per-tap mapping bounds the 8192-FFT frame intermediates in HBM

@@ -95,7 +95,6 @@ def fit_decay_slope_over_db_range(
         & (t >= start.time_seconds[..., None])
         & (t <= end.time_seconds[..., None])
     )
-    w = window.astype(jnp.float32)
     num = jnp.sum(window, axis=-1).astype(jnp.int32)
     num_safe = jnp.maximum(num, 1).astype(jnp.float32)
 

@@ -69,6 +69,36 @@ def hann_window(n_fft: int) -> np.ndarray:
     return np.hanning(n_fft).astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin"))
+def stft_magnitude(
+    x: jnp.ndarray,
+    length: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    use_hann_window: bool = True,
+    floor_lin: float = 0.0,
+) -> StftResult:
+    """
+    Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
+    invalid frames zeroed. Consumers that aggregate in linear magnitude
+    (modal cloud bin means, modalcloud.py:193-205) use this directly and
+    convert to dB once after aggregation — skipping two transcendental
+    passes over the full (T, F) plane.
+    """
+    window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
+        (n_fft,), dtype=jnp.float32
+    )
+    frames = frame_signal(x, n_fft, hop) * window
+    spectrum = jnp.fft.rfft(frames, axis=-1)
+    mag = jnp.maximum(jnp.abs(spectrum).astype(jnp.float32), floor_lin)
+
+    t = mag.shape[-2]
+    frame_valid = jnp.arange(t, dtype=jnp.int32) * hop + n_fft <= length[..., None]
+    mag = jnp.where(frame_valid[..., None], mag, 0.0)
+    num_frames = jnp.sum(frame_valid, axis=-1).astype(jnp.int32)
+    return StftResult(mag, num_frames)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "use_hann_window", "floor_db"))
 def stft_mag_db(
     x: jnp.ndarray,
