@@ -257,3 +257,21 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     # resume skips the completed tap
     index2 = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
     assert "(cached)" in index2.read_text()
+
+
+def test_cli_json_flag(tmp_path, capsys, ir_wav):
+    """--json on a subcommand writes the result pytree next to the summary."""
+    from audio_analysis_tpu.cli import analyse_cli
+
+    out_json = tmp_path / "fr.json"
+    analyse_cli.main(
+        ["fr", "--input", str(ir_wav), "--no_show", "--json", str(out_json)]
+    )
+    out = capsys.readouterr().out
+    assert f"Wrote JSON: {out_json}" in out
+
+    import json as _json
+
+    data = _json.loads(out_json.read_text())
+    assert data[0]["channel_name"] == "left"
+    assert data[0]["peak_frequency_hz"] > 0
