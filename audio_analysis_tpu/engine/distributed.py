@@ -4,20 +4,28 @@ Multi-host bundle farms (DCN) — the scale-out path beyond one host's chips.
 Single-host multi-chip scaling is engine.mesh (taps data-parallel over ICI).
 For fleets of hosts each with local TPUs, this module wires the standard
 JAX multi-process setup: `jax.distributed.initialize` over the coordination
-network, a global mesh whose "taps" axis spans every chip in the job, and a
-per-host slice of the tap batch (each host decodes only its own taps with
-the native loader — the filesystem bundle contract is the data plane, DCN
-only carries coordination + the final all-reduced aggregates).
+network, ONE GLOBAL "taps" mesh spanning every chip of the job (built from
+`jax.devices()`, which is ordered by process), and per-process decode of
+only the tap shard this host's devices own — the filesystem bundle contract
+is the data plane, DCN carries coordination plus the all-reduced bundle
+aggregates.
 
-Not exercised by the single-chip dev environment (jax.distributed needs a
-real multi-process job); guarded accordingly and validated by construction
-against the standard JAX multi-process recipe.
+Per-tap metrics are returned for the LOCAL shard (the caller writes its own
+taps' reports); bundle aggregates are computed inside one jitted reduction
+over the global sharded outputs, so they are genuinely all-reduced and
+identical on every process.
+
+Tested by tests/test_distributed_multihost.py with a real 2-process CPU
+job (subprocess harness, local coordinator); reference analogue: none
+(SURVEY §5 distributed row).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
-from typing import Dict, Optional
+from pathlib import Path
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -46,43 +54,134 @@ def initialize_multi_host(
     jax.distributed.initialize(**kwargs)
 
 
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _tap_frame_count(path: Path) -> int:
+    """Frames in a tap WAV from the header only (native probe or pure-Python)."""
+    from audio_analysis_tpu.io import native
+    from audio_analysis_tpu.io.wav import read_wav_header_info
+
+    if native.available():
+        frames, _, _ = native.read_wav_info(path)
+        return int(frames)
+    return read_wav_header_info(path)[0]
+
+
+def _bundle_aggregates(t30_rt60, t30_ok, early10_time, early10_ok, valid_rows):
+    """Global nan-masked reductions; padded rows excluded via valid_rows."""
+    import jax.numpy as jnp
+
+    row_valid = valid_rows[:, None]
+    t30 = jnp.where(t30_ok & row_valid, t30_rt60, jnp.nan)
+    early = jnp.where(early10_ok & row_valid, early10_time, jnp.nan)
+    return {
+        "bundle_median_t30": jnp.nanmedian(t30),
+        "bundle_mean_early10": jnp.nanmean(early),
+        "bundle_valid_taps": jnp.sum(jnp.any(t30_ok & row_valid, axis=-1)),
+    }
+
+
 def analyze_bundle_multi_host(
-    bundle_root: str,
+    bundle_root: str | Path,
     config=None,
-) -> Dict[str, np.ndarray]:
+    devices: Optional[Sequence] = None,
+    pad_multiple: int = 4096,
+) -> Dict[str, object]:
     """
     Analyse a bundle across every process of an initialized multi-host job.
 
-    Each host decodes the tap shard it owns (taps are assigned round-robin
-    by index — the bundle lives on a shared filesystem), places it on its
-    local devices, and the fused engine runs under the global "taps" mesh.
-    Returns the per-tap metrics for the LOCAL shard plus the global
-    aggregates (identical on every host after the all-reduce).
+    Taps are assigned in contiguous blocks to the devices of the global
+    "taps" mesh (jax.devices() order — sorted by owning process), so each
+    host decodes exactly the taps its local devices analyse. The global
+    batch is assembled with `jax.make_array_from_process_local_data`, the
+    fused engine runs under the cached sharded step, and aggregates are one
+    jitted global reduction (replicated → identical on every process).
+
+    Returns per-tap metrics for this process's taps (key "local_tap_names"
+    lists them, metric arrays are row-aligned to it) plus the global
+    `bundle_*` aggregate scalars.
     """
     import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from audio_analysis_tpu.engine.batch import EngineConfig
-    from audio_analysis_tpu.engine.mesh import analyze_batch_sharded, make_mesh
-    from audio_analysis_tpu.io.bundle import load_bundle_batch
+    from audio_analysis_tpu.engine.mesh import sharded_step
+    from audio_analysis_tpu.io.bundle import read_bundle_meta
+    from audio_analysis_tpu.io.wav import load_wav_file
 
     if config is None:
         config = EngineConfig()
+    # Same shard_map caveat as engine.mesh: the Pallas EDC does not carry
+    # vma metadata under shard_map; the jnp EDC is numerically equivalent.
+    config = dataclasses.replace(config, use_pallas_edc=False)
 
+    bundle_root = Path(bundle_root)
     process_id = jax.process_index()
-    num_processes = jax.process_count()
 
-    meta, batch, lengths, names = load_bundle_batch(bundle_root)
-    local_sel = np.arange(len(names)) % num_processes == process_id
-    local_batch = batch[local_sel]
-    local_lengths = lengths[local_sel]
+    device_list = list(devices) if devices is not None else list(jax.devices())
+    mesh = Mesh(np.array(device_list), axis_names=("taps",))
+    n_dev = len(device_list)
 
-    # Local mesh over this host's devices; aggregates still all-reduce
-    # globally because jax.distributed made the job one XLA computation
-    # domain. (A fully-global taps mesh requires jax.make_mesh over
-    # jax.devices() — all chips in the job — and globally-consistent
-    # device_put; kept per-host here so each host analyses its own shard.)
-    mesh = make_mesh(num_devices=len(jax.local_devices()))
-    out = analyze_batch_sharded(mesh, local_batch, local_lengths, config)
-    out = {k: np.asarray(v) for k, v in out.items()}
-    out["local_tap_names"] = [n for n, keep in zip(names, local_sel) if keep]
-    return out
+    meta = read_bundle_meta(bundle_root)
+    names = meta.taps
+    b = len(names)
+    if b == 0:
+        raise ValueError(f"Bundle {bundle_root} has no taps.")
+    b_pad = _round_up(b, n_dev)
+    per_dev = b_pad // n_dev
+
+    # Globally-consistent padded length from headers only (no decode).
+    tap_paths = [bundle_root / "taps" / f"{t}.wav" for t in names]
+    n_max = _round_up(max(_tap_frame_count(p) for p in tap_paths), pad_multiple)
+
+    # Contiguous tap blocks per device; this process owns its devices' rows.
+    my_rows = [
+        row
+        for d_idx, d in enumerate(device_list)
+        if d.process_index == process_id
+        for row in range(d_idx * per_dev, (d_idx + 1) * per_dev)
+    ]
+    local_names = [names[row] for row in my_rows if row < b]
+
+    local_batch = np.zeros((len(my_rows), 2, n_max), np.float32)
+    local_lengths = np.zeros((len(my_rows),), np.int32)
+    local_valid = np.zeros((len(my_rows),), bool)
+    for out_row, row in enumerate(my_rows):
+        # Padded rows replay an earlier tap so every shard runs real data;
+        # they are excluded from outputs and aggregates via local_valid.
+        loaded = load_wav_file(
+            tap_paths[row % b],
+            meta.sample_rate_hz,
+            "stereo",
+            allow_mono_and_upmix_to_stereo=True,
+        )
+        n = loaded.samples.shape[0]
+        local_batch[out_row, :, :n] = loaded.samples.T
+        local_lengths[out_row] = n
+        local_valid[out_row] = row < b
+
+    data_sh = NamedSharding(mesh, P("taps", None, None))
+    row_sh = NamedSharding(mesh, P("taps"))
+    samples = jax.make_array_from_process_local_data(data_sh, local_batch, (b_pad, 2, n_max))
+    lengths = jax.make_array_from_process_local_data(row_sh, local_lengths, (b_pad,))
+    valid = jax.make_array_from_process_local_data(row_sh, local_valid, (b_pad,))
+
+    out = sharded_step(mesh, config)(samples, lengths)
+
+    agg = jax.jit(_bundle_aggregates)(
+        out["t30_rt60"], out["t30_ok"], out["early10_time"], out["early10_ok"], valid
+    )
+
+    n_local_real = len(local_names)
+
+    def _local_rows(v) -> np.ndarray:
+        shards = sorted(v.addressable_shards, key=lambda s: s.index[0].start or 0)
+        stacked = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return stacked[:n_local_real]
+
+    result: Dict[str, object] = {k: _local_rows(v) for k, v in out.items()}
+    result.update({k: np.asarray(v) for k, v in agg.items()})
+    result["local_tap_names"] = local_names
+    return result

@@ -17,7 +17,7 @@ accidental resharding inside the hot loop.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional
 
 import jax
@@ -63,6 +63,26 @@ def _pad_to_multiple(batch: np.ndarray, lengths: np.ndarray, multiple: int):
     return batch, lengths, pad
 
 
+@lru_cache(maxsize=32)
+def sharded_step(mesh: Mesh, config: EngineConfig):
+    """
+    jit(shard_map(analyze_batch)) memoised per (mesh, config).
+
+    The jit wrapper must be reused across calls — rebuilding it per call
+    discards jit's shape-keyed trace cache, retracing/recompiling every
+    invocation (prohibitive through a tunnel where first compile is tens
+    of seconds). Both keys are hashable: Mesh by devices+axis names,
+    EngineConfig is a frozen dataclass.
+    """
+    local_step = shard_map(
+        partial(analyze_batch, config=config),
+        mesh=mesh,
+        in_specs=(P("taps", None, None), P("taps")),
+        out_specs=P("taps"),
+    )
+    return jax.jit(local_step)
+
+
 def analyze_batch_sharded(
     mesh: Mesh,
     batch: np.ndarray,
@@ -90,17 +110,14 @@ def analyze_batch_sharded(
 
     data_sharding = NamedSharding(mesh, P("taps", None, None))
     len_sharding = NamedSharding(mesh, P("taps"))
-    samples = jax.device_put(jnp.asarray(batch_p), data_sharding)
-    lengths_dev = jax.device_put(jnp.asarray(lengths_p), len_sharding)
+    # device_put the HOST arrays directly with the target sharding: an
+    # intermediate jnp.asarray would first commit them to the default
+    # device (the TPU), making a virtual-CPU-mesh run depend on a healthy
+    # TPU backend (this exact failure was recorded in MULTICHIP_r01).
+    samples = jax.device_put(batch_p, data_sharding)
+    lengths_dev = jax.device_put(lengths_p, len_sharding)
 
-    local_step = shard_map(
-        partial(analyze_batch, config=config),
-        mesh=mesh,
-        in_specs=(P("taps", None, None), P("taps")),
-        out_specs=P("taps"),
-    )
-
-    out = jax.jit(local_step)(samples, lengths_dev)
+    out = sharded_step(mesh, config)(samples, lengths_dev)
 
     b = batch.shape[0]
     if pad:

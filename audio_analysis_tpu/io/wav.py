@@ -123,6 +123,45 @@ def validate_audio_format(
         )
 
 
+def read_wav_header_info(path: str | Path) -> Tuple[int, int, int]:
+    """
+    (frames, channels, sample_rate_hz) from the RIFF header only — no sample
+    decode. Used by the multi-host bundle path so every process can agree on
+    the padded batch shape while decoding only its own tap shard
+    (reference analogue: none; bundle.py:43-53 decodes everything).
+    """
+    import struct
+
+    path = Path(path)
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"Not a RIFF/WAVE file: {path}")
+        channels = sample_rate = bits = 0
+        frames = None
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            chunk_id, chunk_size = header[:4], struct.unpack("<I", header[4:])[0]
+            if chunk_id == b"fmt ":
+                if chunk_size < 16 or chunk_size > 65536:
+                    raise ValueError(f"Malformed fmt chunk in {path}")
+                fmt = f.read(chunk_size)
+                _, channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+                bits = struct.unpack("<H", fmt[14:16])[0]
+            elif chunk_id == b"data":
+                if channels == 0 or bits == 0:
+                    raise ValueError(f"data chunk before fmt in {path}")
+                frames = chunk_size // (channels * (bits // 8))
+                break
+            else:
+                f.seek(chunk_size + (chunk_size & 1), 1)
+        if frames is None:
+            raise ValueError(f"No data chunk found in {path}")
+        return int(frames), int(channels), int(sample_rate)
+
+
 _RAW_CACHE: dict = {}
 _RAW_CACHE_MAX = 4
 

@@ -1,14 +1,18 @@
 """
 Test configuration.
 
-Tests run on CPU with a virtual 8-device mesh (the standard JAX
-fake-multichip trick) so the sharded bundle path is exercised without TPU
-hardware. Must be set before jax is imported anywhere.
+Where tests actually run: in this container the axon TPU plugin is
+registered by sitecustomize and JAX_PLATFORMS=axon is preset, so the
+DEFAULT backend for single-device tests is the real TPU (through the
+tunnel). The XLA flag below additionally exposes 8 virtual CPU devices so
+mesh/sharding tests can build fake-multichip meshes — those tests pass
+platform="cpu" explicitly (engine.mesh.make_mesh). The 2-process
+multi-host test spawns CPU-only subprocesses with the plugin disabled
+(see test_distributed_multihost.py). Must be set before jax is imported.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
