@@ -39,10 +39,11 @@ def shift_to(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> Aligned
     broadcast over batch dims; out-of-range positions read zero.
 
     TPU note: implemented as one contiguous `lax.dynamic_slice` per batch
-    row from a zero-extended buffer (the batch dims are static and small —
-    taps x channels x bands). A generic element gather here
-    (take_along_axis over ~10^6 indices) is orders of magnitude slower on
-    TPU; contiguous dynamic slices are plain DMA copies.
+    row from a zero-extended buffer — a plain DMA copy. A generic element
+    gather here (take_along_axis over ~10^6 indices) is orders of magnitude
+    slower on TPU. The rows ride a `lax.scan` so the trace holds exactly
+    ONE slice op regardless of batch size (an unrolled per-row Python loop
+    made compile time grow linearly with taps x channels x bands).
     """
     n = x.shape[-1]
     batch_shape = x.shape[:-1]
@@ -50,14 +51,15 @@ def shift_to(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> Aligned
     length_b = jnp.broadcast_to(jnp.asarray(length, jnp.int32), batch_shape)
 
     flat = x.reshape((-1, n))
-    starts_flat = start_b.reshape((-1,))
+    starts_flat = jnp.clip(start_b.reshape((-1,)), 0, n)
     padded = jnp.concatenate([flat, jnp.zeros_like(flat)], axis=-1)  # (R, 2N)
 
-    rows = [
-        jax.lax.dynamic_slice(padded[r], (jnp.clip(starts_flat[r], 0, n),), (n,))
-        for r in range(flat.shape[0])
-    ]
-    shifted = jnp.stack(rows).reshape(x.shape)
+    def _slice_row(_, row_and_start):
+        row, row_start = row_and_start
+        return None, jax.lax.dynamic_slice(row, (row_start,), (n,))
+
+    _, shifted = jax.lax.scan(_slice_row, None, (padded, starts_flat))
+    shifted = shifted.reshape(x.shape)
 
     new_length = jnp.maximum(length_b - start_b, 0).astype(jnp.int32)
     mask = bool_valid_mask(n, new_length)
