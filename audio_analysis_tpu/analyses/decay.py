@@ -19,8 +19,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import dbfit, edc, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import dbfit, edc
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
     finalize_and_show_or_save,
@@ -80,37 +80,33 @@ class DecayPlotSettings:
 
 
 def _fit_from_kernel(
-    fit: dbfit.DecayFit, name: str, range_db: Tuple[float, float]
+    fit: dbfit.DecayFit, row: int, name: str, range_db: Tuple[float, float]
 ) -> Optional[LinearDecayFit]:
-    if not bool(np.asarray(fit.ok)[0]):
+    if not bool(np.asarray(fit.ok)[row]):
         return None
     return LinearDecayFit(
         name=name,
         range_db=(float(range_db[0]), float(range_db[1])),
-        start_time_seconds=float(np.asarray(fit.start_time_seconds)[0]),
-        end_time_seconds=float(np.asarray(fit.end_time_seconds)[0]),
-        slope_db_per_second=float(np.asarray(fit.slope_db_per_second)[0]),
-        intercept_db=float(np.asarray(fit.intercept_db)[0]),
-        r_squared=float(np.asarray(fit.r_squared)[0]),
-        rt60_seconds=float(np.asarray(fit.rt60_seconds)[0]),
+        start_time_seconds=float(np.asarray(fit.start_time_seconds)[row]),
+        end_time_seconds=float(np.asarray(fit.end_time_seconds)[row]),
+        slope_db_per_second=float(np.asarray(fit.slope_db_per_second)[row]),
+        intercept_db=float(np.asarray(fit.intercept_db)[row]),
+        r_squared=float(np.asarray(fit.r_squared)[row]),
+        rt60_seconds=float(np.asarray(fit.rt60_seconds)[row]),
     )
 
 
-def analyse_decay_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_decay_channels(
+    dsp: FileDsp,
     settings: DecayAnalysisSettings,
-) -> ChannelDecayAnalysis:
-    if samples.ndim != 1:
-        raise ValueError("analyse_decay_for_channel expects a 1D mono array.")
-
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x, length, sample_rate_hz, settings.trim_to_peak, settings.ignore_leading_seconds
+) -> List[ChannelDecayAnalysis]:
+    """All channels in one batched EDC + fit dispatch."""
+    sample_rate_hz = dsp.sample_rate_hz
+    aligned = dsp.aligned(settings.trim_to_peak, settings.ignore_leading_seconds)
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak, settings.ignore_leading_seconds
     )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < 4:
+    if int(seg_lens.min()) < 4:
         raise ValueError("Not enough samples after trimming/ignoring to compute EDC.")
 
     curve = edc.schroeder_edc_db(
@@ -123,52 +119,79 @@ def analyse_decay_for_channel(
 
     c0 = dbfit.crossing_time(curve.edc_db, curve.length, 0.0, sample_rate_hz)
     c10 = dbfit.crossing_time(curve.edc_db, curve.length, -10.0, sample_rate_hz)
-    early: Optional[float] = None
-    if bool(np.asarray(c0.found)[0]) and bool(np.asarray(c10.found)[0]):
-        t0 = float(np.asarray(c0.time_seconds)[0])
-        t10 = float(np.asarray(c10.time_seconds)[0])
-        if t10 >= t0:
-            early = t10 - t0
+    c0_found, c0_t = np.asarray(c0.found), np.asarray(c0.time_seconds)
+    c10_found, c10_t = np.asarray(c10.found), np.asarray(c10.time_seconds)
 
-    fits: Dict[str, LinearDecayFit] = {}
     plan = []
     if settings.compute_edt:
         plan.append(("EDT", settings.edt_range_db))
     plan.append(("T20", settings.t20_range_db))
     plan.append(("T30", settings.t30_range_db))
-    for name, range_db in plan:
-        kfit = dbfit.fit_decay_slope_over_db_range(
-            curve.edc_db, curve.length, range_db, settings.fit_lower_limit_db, sample_rate_hz
+    kernel_fits = [
+        (
+            name,
+            range_db,
+            dbfit.fit_decay_slope_over_db_range(
+                curve.edc_db, curve.length, range_db, settings.fit_lower_limit_db, sample_rate_hz
+            ),
         )
-        made = _fit_from_kernel(kfit, name, range_db)
-        if made is not None:
-            fits[name] = made
+        for name, range_db in plan
+    ]
 
-    edc_host = np.asarray(curve.edc_db)[0][:seg_len].astype(np.float32)
-    time_host = (np.arange(seg_len, dtype=np.float32) / float(sample_rate_hz)).astype(np.float32)
+    edc_host = np.asarray(curve.edc_db)  # (C, N)
 
-    return ChannelDecayAnalysis(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        time_seconds=time_host,
-        edc_db=edc_host,
-        early_decay_10db_time_seconds=early,
-        fits=fits,
-    )
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        early: Optional[float] = None
+        if bool(c0_found[i]) and bool(c10_found[i]):
+            t0, t10 = float(c0_t[i]), float(c10_t[i])
+            if t10 >= t0:
+                early = t10 - t0
+
+        fits: Dict[str, LinearDecayFit] = {}
+        for name, range_db, kfit in kernel_fits:
+            made = _fit_from_kernel(kfit, i, name, range_db)
+            if made is not None:
+                fits[name] = made
+
+        seg_len = int(seg_lens[i])
+        results.append(
+            ChannelDecayAnalysis(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                analysis_start_sample_index=int(starts[i]),
+                time_seconds=(
+                    np.arange(seg_len, dtype=np.float32) / float(sample_rate_hz)
+                ).astype(np.float32),
+                edc_db=edc_host[i][:seg_len].astype(np.float32),
+                early_decay_10db_time_seconds=early,
+                fits=fits,
+            )
+        )
+    return results
+
+
+def analyse_decay_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: DecayAnalysisSettings,
+) -> ChannelDecayAnalysis:
+    return analyse_decay_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_decay_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[DecayAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelDecayAnalysis]:
     if settings is None:
         settings = DecayAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_decay_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_decay_channels(dsp, settings)
 
 
 # ----------------------------------------------------------------------------
@@ -219,12 +242,29 @@ def plot_decay_figure(
     return figure
 
 
+def render_decay_plots(
+    results: List[ChannelDecayAnalysis],
+    analysis_settings: DecayAnalysisSettings,
+    plot_settings: DecayPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figure + save only (host matplotlib); results come from analyse_*."""
+    figure = plot_decay_figure(
+        results, analysis_settings, plot_settings, title=f"Decay (EDC) — {title_source}"
+    )
+    output_path = None if output_basename is None else suffixed_png(output_basename, "_decay")
+    finalize_and_show_or_save(figure, output_path, show_interactive)
+
+
 def plot_decay_from_wav_file(
     input_wav_file_path: str | Path,
     analysis_settings: Optional[DecayAnalysisSettings] = None,
     plot_settings: Optional[DecayPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelDecayAnalysis]:
     """Analyse then plot; writes <basename>_decay.png when saving."""
     if analysis_settings is None:
@@ -232,12 +272,11 @@ def plot_decay_from_wav_file(
     if plot_settings is None:
         plot_settings = DecayPlotSettings()
 
-    results = analyse_decay_from_wav_file(input_wav_file_path, analysis_settings)
-    figure = plot_decay_figure(
-        results, analysis_settings, plot_settings, title=f"Decay (EDC) — {input_wav_file_path}"
+    results = analyse_decay_from_wav_file(input_wav_file_path, analysis_settings, dsp=dsp)
+    render_decay_plots(
+        results, analysis_settings, plot_settings, output_basename, show_interactive,
+        input_wav_file_path,
     )
-    output_path = None if output_basename is None else suffixed_png(output_basename, "_decay")
-    finalize_and_show_or_save(figure, output_path, show_interactive)
     return results
 
 

@@ -19,7 +19,12 @@ from typing import List, Optional
 
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
+from audio_analysis_tpu.analyses._common import (
+    FileDsp,
+    pad_to_bucket,
+    single_channel_dsp,
+    suffixed_png,
+)
 from audio_analysis_tpu.ops import diffusion as dops
 from audio_analysis_tpu.ops import trim
 from audio_analysis_tpu.plot import (
@@ -64,19 +69,17 @@ def _window_params(settings: DiffusionAnalysisSettings, sample_rate_hz: int):
     return win, hop, max_lag
 
 
-def analyse_diffusion_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_diffusion_channels(
+    dsp: FileDsp,
     settings: DiffusionAnalysisSettings,
-) -> DiffusionChannelResult:
+) -> List[DiffusionChannelResult]:
+    """Per-channel diffusion metrics for all channels in one batched call."""
+    sample_rate_hz = dsp.sample_rate_hz
     win, hop, max_lag = _window_params(settings, sample_rate_hz)
 
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x, length, sample_rate_hz, settings.trim_to_peak, settings.ignore_leading_seconds
-    )
-    if int(np.asarray(aligned.length)[0]) < win:
+    aligned = dsp.aligned(settings.trim_to_peak, settings.ignore_leading_seconds)
+    _, seg_lens = dsp.aligned_host_meta(settings.trim_to_peak, settings.ignore_leading_seconds)
+    if int(seg_lens.min()) < win:
         raise ValueError("Not enough samples for diffusion analysis windows.")
 
     r = dops.diffusion_metrics(
@@ -89,35 +92,54 @@ def analyse_diffusion_for_channel(
         float(settings.echo_density_threshold_rms),
         bool(settings.echo_density_normalise_to_gaussian),
     )
-    t_valid = int(np.asarray(r.num_frames)[0])
-    series = DiffusionTimeSeries(
-        time_seconds=np.asarray(r.time_seconds)[:t_valid].astype(np.float32),
-        max_abs_autocorr=np.asarray(r.max_abs_autocorr)[0][:t_valid].astype(np.float32),
-        echo_density=np.asarray(r.echo_density)[0][:t_valid].astype(np.float32),
-    )
-    return DiffusionChannelResult(channel_name, int(sample_rate_hz), series)
+    num_frames = np.asarray(r.num_frames)
+    time_seconds = np.asarray(r.time_seconds)
+    autocorr = np.asarray(r.max_abs_autocorr)
+    echo = np.asarray(r.echo_density)
+
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        t_valid = int(num_frames[i])
+        series = DiffusionTimeSeries(
+            time_seconds=time_seconds[:t_valid].astype(np.float32),
+            max_abs_autocorr=autocorr[i][:t_valid].astype(np.float32),
+            echo_density=echo[i][:t_valid].astype(np.float32),
+        )
+        results.append(DiffusionChannelResult(channel_name, int(sample_rate_hz), series))
+    return results
+
+
+def analyse_diffusion_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: DiffusionAnalysisSettings,
+) -> DiffusionChannelResult:
+    return analyse_diffusion_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_diffusion_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[DiffusionAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[DiffusionChannelResult]:
     if settings is None:
         settings = DiffusionAnalysisSettings()
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
 
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    results = [
-        analyse_diffusion_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    sr = dsp.sample_rate_hz
+    results = analyse_diffusion_channels(dsp, settings)
 
     # True stereo: compute corr0/IACC once on L/R aligned via the peak of the
     # (L+R)/2 downmix, attach the same series to both channel results.
-    if not settings.use_mono_downmix_for_stereo and len(channels) == 2:
+    if not settings.use_mono_downmix_for_stereo and dsp.num_channels == 2:
         import jax.numpy as jnp
 
         win, hop, max_lag = _window_params(settings, sr)
-        left_raw, right_raw = channels[0][1], channels[1][1]
+        left_raw, right_raw = dsp.host_channels[0], dsp.host_channels[1]
         combined = (0.5 * (left_raw.astype(np.float64) + right_raw.astype(np.float64))).astype(
             np.float32
         )
@@ -129,15 +151,13 @@ def analyse_diffusion_from_wav_file(
         start = int(np.asarray(c_aligned.start_index)[0])
         seg_len = int(np.asarray(c_aligned.length)[0])
 
-        l_j, _ = pad_to_bucket(left_raw)
-        r_j, _ = pad_to_bucket(right_raw)
-        start_arr = jnp.asarray(np.array([start], np.int32))
-        len_arr = jnp.asarray(np.array([start + seg_len], np.int32))
-        l_al = trim.shift_to(l_j, start_arr, len_arr)
-        r_al = trim.shift_to(r_j, start_arr, len_arr)
+        # L/R rows are already resident on device in the FileDsp batch.
+        start_arr = jnp.asarray(np.array([start, start], np.int32))
+        len_arr = jnp.asarray(np.array([start + seg_len, start + seg_len], np.int32))
+        lr_al = trim.shift_to(dsp.x, start_arr, len_arr)
 
         s = dops.stereo_diffusion_metrics(
-            l_al.samples, r_al.samples, l_al.length, win, hop, max_lag
+            lr_al.samples[0:1], lr_al.samples[1:2], lr_al.length[0:1], win, hop, max_lag
         )
         t_valid = results[0].series.time_seconds.size
         t_stereo = 0 if seg_len < win else 1 + (seg_len - win) // hop
@@ -174,13 +194,24 @@ def plot_diffusion_from_wav_file(
     analysis_settings: Optional[DiffusionAnalysisSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[DiffusionChannelResult]:
     if analysis_settings is None:
         analysis_settings = DiffusionAnalysisSettings()
 
-    results = analyse_diffusion_from_wav_file(input_wav_file_path, analysis_settings)
+    results = analyse_diffusion_from_wav_file(input_wav_file_path, analysis_settings, dsp=dsp)
+    render_diffusion_plots(results, output_basename, show_interactive, input_wav_file_path)
+    return results
 
-    figure, axis = create_figure_and_axis(title=f"Diffusion — {input_wav_file_path}")
+
+def render_diffusion_plots(
+    results: List[DiffusionChannelResult],
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figure + save only (host matplotlib); results come from analyse_*."""
+    figure, axis = create_figure_and_axis(title=f"Diffusion — {title_source}")
     label_time_axis_seconds(axis)
     axis.set_ylabel("Metric (unitless)")
     axis.set_ylim(-0.05, 1.25)
@@ -212,7 +243,6 @@ def plot_diffusion_from_wav_file(
 
     output_path = None if output_basename is None else suffixed_png(output_basename, "_diffusion")
     finalize_and_show_or_save(figure, output_path, show_interactive)
-    return results
 
 
 def summarise_diffusion_results_text(results: List[DiffusionChannelResult]) -> str:

@@ -21,8 +21,8 @@ from typing import List, Optional, Tuple
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import logfreq, spectral, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import logfreq, spectral
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
     finalize_and_show_or_save,
@@ -63,26 +63,23 @@ class ChannelFrequencyResponse:
     spectral_centroid_hz: float
 
 
-def analyse_frequency_response_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_frequency_response_channels(
+    dsp: FileDsp,
     settings: FrequencyResponseAnalysisSettings,
-) -> ChannelFrequencyResponse:
-    if samples.ndim != 1:
-        raise ValueError("analyse_frequency_response_for_channel expects a 1D mono array.")
-
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
+) -> List[ChannelFrequencyResponse]:
+    """All channels in one batched spectrum dispatch."""
+    sample_rate_hz = dsp.sample_rate_hz
+    aligned = dsp.aligned(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
         settings.analysis_duration_seconds,
     )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < 32:
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    if int(seg_lens.min()) < 32:
         raise ValueError("Not enough samples after trimming/selection to analyse spectrum.")
 
     nyquist = 0.5 * sample_rate_hz
@@ -100,65 +97,87 @@ def analyse_frequency_response_for_channel(
         unwrap_phase=False,
     )
 
-    n_pad = x.shape[-1]
+    n_pad = dsp.bucket_samples
     freq_hz = np.fft.rfftfreq(n_pad, d=1.0 / sample_rate_hz).astype(np.float32)
-    mag_db = np.asarray(spec.mag_db)[0]
+    mag_db_all = np.asarray(spec.mag_db)  # (C, F)
 
-    if settings.smoothing_log_bins and int(settings.smoothing_log_bins) > 1:
+    sel = (freq_hz >= f_min) & (freq_hz <= f_max)
+    if not np.any(sel):
+        raise ValueError("Selected frequency range is empty (check f_min_hz/f_max_hz).")
+
+    smoothed = settings.smoothing_log_bins and int(settings.smoothing_log_bins) > 1
+    if smoothed:
         f_min_s = float(np.clip(settings.f_min_hz, 1.0, nyquist))
         f_max_s = float(np.clip(settings.f_max_hz, f_min_s, nyquist))
         import jax.numpy as jnp
 
-        mag_db = np.asarray(
+        mag_db_all = np.asarray(
             logfreq.smooth_mag_db_log_frequency(
                 freq_hz,
-                jnp.asarray(mag_db[None, :]),
+                jnp.asarray(mag_db_all),
                 f_min_s,
                 f_max_s,
                 int(settings.smoothing_log_bins),
                 int(settings.log_bins_per_octave),
             )
-        )[0]
-        # recompute diagnostics on the smoothed curve (fr:238-260)
-        sel = (freq_hz >= f_min) & (freq_hz <= f_max)
-        if not np.any(sel):
-            raise ValueError("Selected frequency range is empty (check f_min_hz/f_max_hz).")
-        mag_sel_lin = 10.0 ** (mag_db[sel].astype(np.float64) / 20.0)
-        peak_freq = float(freq_hz[sel][np.argmax(mag_db[sel])])
-        wsum = float(mag_sel_lin.sum())
-        centroid = float((freq_hz[sel] * mag_sel_lin).sum() / wsum) if wsum > 0 else float(
-            freq_hz[sel][0]
         )
     else:
-        sel = (freq_hz >= f_min) & (freq_hz <= f_max)
-        if not np.any(sel):
-            raise ValueError("Selected frequency range is empty (check f_min_hz/f_max_hz).")
-        peak_freq = float(np.asarray(spec.peak_frequency_hz)[0])
-        centroid = float(np.asarray(spec.spectral_centroid_hz)[0])
+        peak_all = np.asarray(spec.peak_frequency_hz)
+        centroid_all = np.asarray(spec.spectral_centroid_hz)
 
-    return ChannelFrequencyResponse(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        analysis_length_samples=seg_len,
-        frequency_hz=freq_hz,
-        magnitude_db=mag_db.astype(np.float32),
-        peak_frequency_hz=peak_freq,
-        spectral_centroid_hz=centroid,
-    )
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        mag_db = mag_db_all[i]
+        if smoothed:
+            # recompute diagnostics on the smoothed curve (fr:238-260)
+            mag_sel_lin = 10.0 ** (mag_db[sel].astype(np.float64) / 20.0)
+            peak_freq = float(freq_hz[sel][np.argmax(mag_db[sel])])
+            wsum = float(mag_sel_lin.sum())
+            centroid = (
+                float((freq_hz[sel] * mag_sel_lin).sum() / wsum)
+                if wsum > 0
+                else float(freq_hz[sel][0])
+            )
+        else:
+            peak_freq = float(peak_all[i])
+            centroid = float(centroid_all[i])
+
+        results.append(
+            ChannelFrequencyResponse(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                frequency_hz=freq_hz,
+                magnitude_db=mag_db.astype(np.float32),
+                peak_frequency_hz=peak_freq,
+                spectral_centroid_hz=centroid,
+            )
+        )
+    return results
+
+
+def analyse_frequency_response_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: FrequencyResponseAnalysisSettings,
+) -> ChannelFrequencyResponse:
+    return analyse_frequency_response_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_frequency_response_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[FrequencyResponseAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelFrequencyResponse]:
     if settings is None:
         settings = FrequencyResponseAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_frequency_response_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_frequency_response_channels(dsp, settings)
 
 
 def plot_frequency_response_figure(
@@ -217,22 +236,40 @@ def plot_frequency_response_from_wav_file(
     plot_settings: Optional[FrequencyResponsePlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelFrequencyResponse]:
     if analysis_settings is None:
         analysis_settings = FrequencyResponseAnalysisSettings()
     if plot_settings is None:
         plot_settings = FrequencyResponsePlotSettings()
 
-    results = analyse_frequency_response_from_wav_file(input_wav_file_path, analysis_settings)
+    results = analyse_frequency_response_from_wav_file(
+        input_wav_file_path, analysis_settings, dsp=dsp
+    )
+    render_frequency_response_plots(
+        results, analysis_settings, plot_settings, output_basename, show_interactive,
+        input_wav_file_path,
+    )
+    return results
+
+
+def render_frequency_response_plots(
+    results: List[ChannelFrequencyResponse],
+    analysis_settings: FrequencyResponseAnalysisSettings,
+    plot_settings: FrequencyResponsePlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figure + save only (host matplotlib); results come from analyse_*."""
     figure = plot_frequency_response_figure(
         results,
         analysis_settings,
         plot_settings,
-        title=f"Frequency response (spectrum) — {input_wav_file_path}",
+        title=f"Frequency response (spectrum) — {title_source}",
     )
     output_path = None if output_basename is None else suffixed_png(output_basename, "_fr")
     finalize_and_show_or_save(figure, output_path, show_interactive)
-    return results
 
 
 def summarise_frequency_response_results_text(

@@ -17,7 +17,7 @@ from typing import List, Optional, Tuple
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, suffixed_png
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
 from audio_analysis_tpu.ops import spectral, trim
 from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
 
@@ -53,37 +53,31 @@ class ChannelGroupDelayResult:
     group_delay_samples: np.ndarray
 
 
-def analyse_group_delay_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_group_delay_channels(
+    dsp: FileDsp,
     settings: GroupDelayAnalysisSettings,
-) -> ChannelGroupDelayResult:
+) -> List[ChannelGroupDelayResult]:
+    """All channels in one batched phase/gradient dispatch."""
     import jax.numpy as jnp
 
-    from audio_analysis_tpu.analyses._common import pad_to_bucket
-
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
+    sample_rate_hz = dsp.sample_rate_hz
+    aligned = dsp.aligned(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
         settings.analysis_duration_seconds,
     )
 
     if settings.fft_size is None:
-        n_fft = min(x.shape[-1], _MAX_FFT)
+        n_fft = min(dsp.bucket_samples, _MAX_FFT)
     else:
         n_fft = int(settings.fft_size)
 
-    if n_fft != x.shape[-1]:
+    if n_fft != dsp.bucket_samples:
         # cap runtime for very long tails: truncate/pad the aligned segment
-        seg = np.zeros((1, n_fft), dtype=np.float32)
-        host = np.asarray(aligned.samples)[0]
-        take = min(n_fft, host.size)
-        seg[0, :take] = host[:take]
+        host = np.asarray(aligned.samples)  # (C, N_pad)
+        seg = np.zeros((host.shape[0], n_fft), dtype=np.float32)
+        take = min(n_fft, host.shape[-1])
+        seg[:, :take] = host[:, :take]
         new_len = np.minimum(np.asarray(aligned.length), take).astype(np.int32)
         aligned = trim.AlignedSignal(
             jnp.asarray(seg), jnp.asarray(new_len), aligned.start_index
@@ -102,25 +96,39 @@ def analyse_group_delay_for_channel(
 
     freq_hz = np.fft.rfftfreq(n_fft, d=1.0 / sample_rate_hz)
     sel = (freq_hz >= settings.f_min_hz) & (freq_hz <= settings.f_max_hz)
-    return ChannelGroupDelayResult(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        frequency_hz=freq_hz[sel].astype(np.float64),
-        group_delay_samples=np.asarray(r.group_delay_samples)[0][sel].astype(np.float64),
-    )
+    gd_all = np.asarray(r.group_delay_samples)  # (C, F)
+    return [
+        ChannelGroupDelayResult(
+            channel_name=channel_name,
+            sample_rate_hz=int(sample_rate_hz),
+            frequency_hz=freq_hz[sel].astype(np.float64),
+            group_delay_samples=gd_all[i][sel].astype(np.float64),
+        )
+        for i, channel_name in enumerate(dsp.channel_names)
+    ]
+
+
+def analyse_group_delay_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: GroupDelayAnalysisSettings,
+) -> ChannelGroupDelayResult:
+    return analyse_group_delay_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_group_delay_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[GroupDelayAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelGroupDelayResult]:
     if settings is None:
         settings = GroupDelayAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_group_delay_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_group_delay_channels(dsp, settings)
 
 
 def plot_group_delay_from_wav_file(
@@ -129,14 +137,25 @@ def plot_group_delay_from_wav_file(
     plot_settings: Optional[GroupDelayPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelGroupDelayResult]:
     if settings is None:
         settings = GroupDelayAnalysisSettings()
     if plot_settings is None:
         plot_settings = GroupDelayPlotSettings()
 
-    results = analyse_group_delay_from_wav_file(input_wav_file_path, settings)
+    results = analyse_group_delay_from_wav_file(input_wav_file_path, settings, dsp=dsp)
+    render_group_delay_plots(results, plot_settings, output_basename, show_interactive)
+    return results
 
+
+def render_group_delay_plots(
+    results: List[ChannelGroupDelayResult],
+    plot_settings: GroupDelayPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+) -> None:
+    """Figures + save only (host matplotlib); results come from analyse_*."""
     for result in results:
         fig, ax = create_figure_and_axis(title=f"Group delay ({result.channel_name})")
         ax.plot(result.frequency_hz, result.group_delay_samples)
@@ -156,8 +175,6 @@ def plot_group_delay_from_wav_file(
             else suffixed_png(output_basename, f"_groupdelay_{result.channel_name}")
         )
         finalize_and_show_or_save(fig, output_path, show_interactive)
-
-    return results
 
 
 def summarise_group_delay_results_text(results: List[ChannelGroupDelayResult]) -> str:

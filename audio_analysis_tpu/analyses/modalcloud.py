@@ -20,8 +20,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import dbfit, logfreq, stft, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import dbfit, logfreq, stft
 from audio_analysis_tpu.plot import (
     apply_log_hz_xaxis,
     create_figure_and_axis,
@@ -86,39 +86,40 @@ def _metric_range(settings: ModalCloudAnalysisSettings) -> Tuple[str, Tuple[floa
     return "t30", settings.t30_range_db
 
 
-def analyse_modal_cloud_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_modal_cloud_channels(
+    dsp: FileDsp,
     settings: ModalCloudAnalysisSettings,
-) -> ChannelModalCloudResult:
+) -> List[ChannelModalCloudResult]:
+    """
+    All channels at once: one shared 8192-STFT, the bin aggregation as one
+    batched MXU matmul and ALL (channel, bin) fits in one dbfit call.
+    Invalid frames sit at floor_db (ops.stft convention) so the batched
+    per-bin peak equals the per-channel-sliced one; fits mask by each
+    channel's valid frame count.
+    """
     import jax.numpy as jnp
 
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
+    sample_rate_hz = dsp.sample_rate_hz
+    starts, seg_lens = dsp.aligned_host_meta(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
         settings.analysis_duration_seconds,
     )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < settings.n_fft:
+    if int(seg_lens.min()) < settings.n_fft:
         raise ValueError(
             "Not enough samples after trimming/selection for modal cloud (need at least n_fft)."
         )
 
-    result = stft.stft_mag_db(
-        aligned.samples,
-        aligned.length,
+    result = dsp.stft_db(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
         int(settings.n_fft),
         int(settings.hop_length),
         bool(settings.use_hann_window),
         float(settings.floor_db),
     )
-    t_valid = int(np.asarray(result.num_frames)[0])
-    mag_db_tf = result.mag_db[:, :t_valid, :]  # (1, T, F) device
+    mag_db_tf = result.mag_db  # (C, T, F) device, invalid frames at floor_db
 
     freq_hz = stft.rfft_freqs_hz(settings.n_fft, sample_rate_hz)
     nyquist = 0.5 * float(sample_rate_hz)
@@ -136,15 +137,16 @@ def analyse_modal_cloud_for_channel(
     bin_matrix = np.zeros((centres.size, freq_hz.size), dtype=np.float32)
     bin_matrix[:, fmask] = bin_matrix_sel
 
-    curves_db = logfreq.aggregate_db_to_log_bins(mag_db_tf, jnp.asarray(bin_matrix))  # (1, B, T)
+    curves_db = logfreq.aggregate_db_to_log_bins(mag_db_tf, jnp.asarray(bin_matrix))  # (C, B, T)
 
     # Per-bin peak normalisation + reliability gate (modalcloud.py:356-361).
     peak = jnp.max(curves_db, axis=-1, keepdims=True)
     rel = curves_db - peak
 
-    # Frame-hop time base: fits run on the per-frame curve.
+    # Frame-hop time base: fits run on the per-frame curve, masked by each
+    # channel's valid frame count.
     frame_rate = float(sample_rate_hz) / float(settings.hop_length)
-    frame_len = jnp.full(rel.shape[:-1], t_valid, dtype=jnp.int32)
+    frame_len = jnp.broadcast_to(result.num_frames[:, None], rel.shape[:-1])
 
     metric, range_db = _metric_range(settings)
     fit = dbfit.fit_decay_slope_over_db_range(
@@ -156,44 +158,58 @@ def analyse_modal_cloud_for_channel(
         min_points=int(settings.min_fit_points),
     )
 
-    peak_host = np.asarray(peak)[0, :, 0]
-    ok = np.asarray(fit.ok)[0]
-    rt60 = np.asarray(fit.rt60_seconds)[0]
-    r2 = np.asarray(fit.r_squared)[0]
+    peak_host = np.asarray(peak)[:, :, 0]
+    ok = np.asarray(fit.ok)
+    rt60 = np.asarray(fit.rt60_seconds)
+    r2 = np.asarray(fit.r_squared)
 
     reliable = (
         ok
-        & nonempty
+        & nonempty[None, :]
         & ((peak_host - float(settings.floor_db)) >= float(settings.min_peak_db_above_floor))
     )
 
-    points = [
-        ModalPoint(float(centres[b]), float(rt60[b]), float(r2[b]))
-        for b in np.nonzero(reliable)[0]
-    ]
-    points.sort(key=lambda p: p.centre_hz)
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        points = [
+            ModalPoint(float(centres[b]), float(rt60[i, b]), float(r2[i, b]))
+            for b in np.nonzero(reliable[i])[0]
+        ]
+        points.sort(key=lambda p: p.centre_hz)
+        results.append(
+            ChannelModalCloudResult(
+                channel_name=str(channel_name),
+                sample_rate_hz=int(sample_rate_hz),
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                metric=metric,
+                points=points,
+            )
+        )
+    return results
 
-    return ChannelModalCloudResult(
-        channel_name=str(channel_name),
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        analysis_length_samples=seg_len,
-        metric=metric,
-        points=points,
-    )
+
+def analyse_modal_cloud_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: ModalCloudAnalysisSettings,
+) -> ChannelModalCloudResult:
+    return analyse_modal_cloud_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_modal_cloud_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[ModalCloudAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelModalCloudResult]:
     if settings is None:
         settings = ModalCloudAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_modal_cloud_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_modal_cloud_channels(dsp, settings)
 
 
 def _median_curve(
@@ -267,19 +283,36 @@ def plot_modal_cloud_from_wav_file(
     plot_settings: Optional[ModalCloudPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelModalCloudResult]:
     if analysis_settings is None:
         analysis_settings = ModalCloudAnalysisSettings()
     if plot_settings is None:
         plot_settings = ModalCloudPlotSettings()
 
-    results = analyse_modal_cloud_from_wav_file(input_wav_file_path, analysis_settings)
+    results = analyse_modal_cloud_from_wav_file(input_wav_file_path, analysis_settings, dsp=dsp)
+    render_modal_cloud_plots(
+        results, analysis_settings, plot_settings, output_basename, show_interactive,
+        input_wav_file_path,
+    )
+    return results
+
+
+def render_modal_cloud_plots(
+    results: List[ChannelModalCloudResult],
+    analysis_settings: ModalCloudAnalysisSettings,
+    plot_settings: ModalCloudPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figures + save only (host matplotlib); results come from analyse_*."""
     for r in results:
         fig = plot_modal_cloud_figure(
             r,
             analysis_settings,
             plot_settings,
-            title=f"Modal cloud — {input_wav_file_path} — {r.channel_name}",
+            title=f"Modal cloud — {title_source} — {r.channel_name}",
         )
         output_path = (
             None
@@ -287,7 +320,6 @@ def plot_modal_cloud_from_wav_file(
             else suffixed_png(output_basename, f"_modalcloud_{r.channel_name}")
         )
         finalize_and_show_or_save(fig, output_path, show_interactive)
-    return results
 
 
 def summarise_modal_cloud_results_text(results: List[ChannelModalCloudResult]) -> str:

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
 from audio_analysis_tpu.analyses.decay import DecayAnalysisSettings
 from audio_analysis_tpu.ops import dbfit, edc, fftmask, trim
 from audio_analysis_tpu.ops.fftmask import BandDefinition
@@ -88,18 +88,18 @@ def build_band_definitions(
     raise ValueError(f"Unknown band_mode: {settings.band_mode}")
 
 
-def analyse_rt60_bands_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_rt60_bands_channels(
+    dsp: FileDsp,
     settings: Rt60BandsAnalysisSettings,
-) -> Rt60BandsChannelResult:
-    if samples.size < 8:
+) -> List[Rt60BandsChannelResult]:
+    """All (channel, band) EDCs/fits in one batched dispatch."""
+    if min(c.shape[-1] for c in dsp.host_channels) < 8:
         raise ValueError("Not enough samples for rt60bands analysis.")
 
+    sample_rate_hz = dsp.sample_rate_hz
     ds = settings.decay_settings
-    x, length = pad_to_bucket(samples)
-    n_pad = x.shape[-1]
+    x, length = dsp.x, dsp.lengths  # (C, N_pad), (C,)
+    n_pad = dsp.bucket_samples
 
     bands = build_band_definitions(settings, sample_rate_hz)
     masks = fftmask.build_band_mask_matrix(
@@ -108,7 +108,7 @@ def analyse_rt60_bands_for_channel(
 
     # Filter the FULL signal (pre-trim artefact avoidance, rt60bands.py:344),
     # then apply the consistent full-band trim to every band at once.
-    banded = fftmask.apply_band_masks(x, jnp.asarray(masks))  # (1, bands, N)
+    banded = fftmask.apply_band_masks(x, jnp.asarray(masks))  # (C, bands, N)
 
     if ds.trim_to_peak:
         start = trim.peak_index(x, length)  # from the full-band signal
@@ -134,49 +134,68 @@ def analyse_rt60_bands_for_channel(
         fit = dbfit.fit_decay_slope_over_db_range(
             curve.edc_db, curve.length, range_db, ds.fit_lower_limit_db, sample_rate_hz
         )
-        rt = np.asarray(fit.rt60_seconds)[0]
-        ok = np.asarray(fit.ok)[0]
+        rt = np.asarray(fit.rt60_seconds)  # (C, bands)
+        ok = np.asarray(fit.ok)
         return np.where(ok, rt, np.nan)
 
     t30 = run_fit(ds.t30_range_db)
     t20 = run_fit(ds.t20_range_db) if settings.include_t20 else None
     edt = run_fit(ds.edt_range_db) if settings.include_edt else None
 
-    seg_len = np.asarray(aligned.length)[0]
-    metrics: Dict[str, Rt60BandMetrics] = {}
-    for i, band in enumerate(bands):
-        if int(seg_len[i]) < 8:
-            metrics[band.name] = Rt60BandMetrics(None, None, None)
-            continue
+    seg_len = np.asarray(aligned.length)  # (C, bands)
 
-        def pick(arr: Optional[np.ndarray]) -> Optional[float]:
-            if arr is None or not np.isfinite(arr[i]):
-                return None
-            return float(arr[i])
+    results = []
+    for c, channel_name in enumerate(dsp.channel_names):
+        metrics: Dict[str, Rt60BandMetrics] = {}
+        for i, band in enumerate(bands):
+            if int(seg_len[c, i]) < 8:
+                metrics[band.name] = Rt60BandMetrics(None, None, None)
+                continue
 
-        metrics[band.name] = Rt60BandMetrics(pick(t30), pick(t20), pick(edt))
+            def pick(arr: Optional[np.ndarray]) -> Optional[float]:
+                if arr is None or not np.isfinite(arr[c, i]):
+                    return None
+                return float(arr[c, i])
 
-    return Rt60BandsChannelResult(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        band_definitions=bands,
-        band_metrics_by_name=metrics,
-    )
+            metrics[band.name] = Rt60BandMetrics(pick(t30), pick(t20), pick(edt))
+
+        results.append(
+            Rt60BandsChannelResult(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                band_definitions=bands,
+                band_metrics_by_name=metrics,
+            )
+        )
+    return results
+
+
+def analyse_rt60_bands_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: Rt60BandsAnalysisSettings,
+) -> Rt60BandsChannelResult:
+    samples = np.asarray(samples)
+    if samples.size < 8:
+        raise ValueError("Not enough samples for rt60bands analysis.")
+    return analyse_rt60_bands_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_rt60_bands_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[Rt60BandsAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[Rt60BandsChannelResult]:
     if settings is None:
         settings = Rt60BandsAnalysisSettings()
-    channels, sr = load_channels(
-        input_wav_file_path, settings.decay_settings.use_mono_downmix_for_stereo
-    )
-    return [
-        analyse_rt60_bands_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(
+            input_wav_file_path, settings.decay_settings.use_mono_downmix_for_stereo
+        )
+    return analyse_rt60_bands_channels(dsp, settings)
 
 
 # ----------------------------------------------------------------------------
@@ -290,6 +309,7 @@ def plot_rt60_bands_from_wav_file(
     plot_settings: Optional[Rt60BandsPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[Rt60BandsChannelResult]:
     if settings is None:
         settings = Rt60BandsAnalysisSettings()
@@ -303,13 +323,34 @@ def plot_rt60_bands_from_wav_file(
             legend_values=False,
         )
 
-    results = analyse_rt60_bands_from_wav_file(input_wav_file_path, settings)
+    results = analyse_rt60_bands_from_wav_file(input_wav_file_path, settings, dsp=dsp)
+    render_rt60_bands_plots(
+        results, settings, plot_settings, output_basename, show_interactive, input_wav_file_path
+    )
+    return results
+
+
+def render_rt60_bands_plots(
+    results: List[Rt60BandsChannelResult],
+    settings: Rt60BandsAnalysisSettings,
+    plot_settings: Rt60BandsPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figure + save only (host matplotlib); results come from analyse_*."""
+    # numeric legends are only readable for the 3-band mode
+    if plot_settings.legend_values and str(settings.band_mode).lower() in ("octave", "third"):
+        plot_settings = Rt60BandsPlotSettings(
+            ylim_seconds=plot_settings.ylim_seconds,
+            secondary_channel_alpha=plot_settings.secondary_channel_alpha,
+            legend_values=False,
+        )
     figure = plot_rt60_bands_figure(
-        results, settings, plot_settings, title=f"RT60 bands — {input_wav_file_path}"
+        results, settings, plot_settings, title=f"RT60 bands — {title_source}"
     )
     output_path = None if output_basename is None else suffixed_png(output_basename, "_rt60bands")
     finalize_and_show_or_save(figure, output_path, show_interactive)
-    return results
 
 
 def summarise_rt60_bands_results_text(

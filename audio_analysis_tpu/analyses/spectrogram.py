@@ -19,8 +19,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import stft, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import stft
 from audio_analysis_tpu.plot import (
     apply_log_hz_yaxis,
     create_figure_and_axis,
@@ -60,65 +60,99 @@ class ChannelSpectrogramResult:
     magnitude_db: np.ndarray  # (F, T)
 
 
+def analyse_spectrogram_channels(
+    dsp: FileDsp,
+    settings: SpectrogramAnalysisSettings,
+) -> List[ChannelSpectrogramResult]:
+    """All channels in one batched kernel call, via the file's shared STFT."""
+    if settings.n_fft <= 0 or settings.hop_length <= 0:
+        raise ValueError("n_fft and hop_length must be positive.")
+
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    if int(seg_lens.min()) < settings.n_fft:
+        raise ValueError(
+            "Not enough samples after trimming/selection for spectrogram (need at least n_fft)."
+        )
+
+    mag_all, num_frames = dsp.stft_db_host(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+        int(settings.n_fft),
+        int(settings.hop_length),
+        bool(settings.use_hann_window),
+        float(settings.floor_db),
+    )
+
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        t_valid = int(num_frames[i])
+        mag_db = mag_all[i][:t_valid].T  # (F, T)
+        results.append(
+            ChannelSpectrogramResult(
+                channel_name=str(channel_name),
+                sample_rate_hz=dsp.sample_rate_hz,
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                time_seconds=stft.frame_times_seconds(
+                    t_valid, settings.hop_length, dsp.sample_rate_hz
+                ),
+                frequency_hz=stft.rfft_freqs_hz(settings.n_fft, dsp.sample_rate_hz),
+                magnitude_db=mag_db.astype(np.float32),
+            )
+        )
+    return results
+
+
 def analyse_spectrogram_for_channel(
     samples: np.ndarray,
     sample_rate_hz: int,
     channel_name: str,
     settings: SpectrogramAnalysisSettings,
 ) -> ChannelSpectrogramResult:
-    if samples.ndim != 1:
-        raise ValueError("analyse_spectrogram_for_channel expects a 1D mono array.")
-    if settings.n_fft <= 0 or settings.hop_length <= 0:
-        raise ValueError("n_fft and hop_length must be positive.")
-
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
-        settings.trim_to_peak,
-        settings.ignore_leading_seconds,
-        settings.analysis_duration_seconds,
-    )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < settings.n_fft:
-        raise ValueError(
-            "Not enough samples after trimming/selection for spectrogram (need at least n_fft)."
-        )
-
-    result = stft.stft_mag_db(
-        aligned.samples,
-        aligned.length,
-        int(settings.n_fft),
-        int(settings.hop_length),
-        bool(settings.use_hann_window),
-        float(settings.floor_db),
-    )
-    t_valid = int(np.asarray(result.num_frames)[0])
-    mag_db = np.asarray(result.mag_db)[0][:t_valid].T  # (F, T)
-
-    return ChannelSpectrogramResult(
-        channel_name=str(channel_name),
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        analysis_length_samples=seg_len,
-        time_seconds=stft.frame_times_seconds(t_valid, settings.hop_length, sample_rate_hz),
-        frequency_hz=stft.rfft_freqs_hz(settings.n_fft, sample_rate_hz),
-        magnitude_db=mag_db.astype(np.float32),
-    )
+    return analyse_spectrogram_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_spectrogram_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[SpectrogramAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelSpectrogramResult]:
     if settings is None:
         settings = SpectrogramAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_spectrogram_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_spectrogram_channels(dsp, settings)
+
+
+def spectrogram_color_limits(
+    mag_db: np.ndarray,
+    analysis_settings: SpectrogramAnalysisSettings,
+    plot_settings: SpectrogramPlotSettings,
+) -> tuple:
+    """
+    Colour scale of the spectrogram plot (reference spectrogram.py:278-289):
+    vmax = 99.5th percentile of the displayed magnitudes (unless pinned),
+    vmin = vmax - dynamic_range_db (or the 5th percentile without a range).
+    """
+    vmax = (
+        float(plot_settings.vmax_db)
+        if plot_settings.vmax_db is not None
+        else float(np.percentile(mag_db, 99.5))
+    )
+    if plot_settings.vmin_db is not None:
+        vmin = float(plot_settings.vmin_db)
+    elif analysis_settings.dynamic_range_db is not None:
+        vmin = vmax - float(analysis_settings.dynamic_range_db)
+    else:
+        vmin = float(np.percentile(mag_db, 5.0))
+    return vmin, vmax
 
 
 def _midpoint_edges(values: np.ndarray, fallback_step: float) -> np.ndarray:
@@ -147,17 +181,7 @@ def plot_spectrogram_figure(
     if mag.size == 0:
         raise ValueError("Spectrogram frequency selection is empty (check f_min_hz/f_max_hz).")
 
-    vmax = (
-        float(plot_settings.vmax_db)
-        if plot_settings.vmax_db is not None
-        else float(np.percentile(mag, 99.5))
-    )
-    if plot_settings.vmin_db is not None:
-        vmin = float(plot_settings.vmin_db)
-    elif analysis_settings.dynamic_range_db is not None:
-        vmin = vmax - float(analysis_settings.dynamic_range_db)
-    else:
-        vmin = float(np.percentile(mag, 5.0))
+    vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
 
     t_edges = _midpoint_edges(result.time_seconds, 1e-3)
     f_edges = np.maximum(_midpoint_edges(freq, 1.0), 1e-6)
@@ -179,19 +203,36 @@ def plot_spectrogram_from_wav_file(
     plot_settings: Optional[SpectrogramPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelSpectrogramResult]:
     if analysis_settings is None:
         analysis_settings = SpectrogramAnalysisSettings()
     if plot_settings is None:
         plot_settings = SpectrogramPlotSettings()
 
-    results = analyse_spectrogram_from_wav_file(input_wav_file_path, analysis_settings)
+    results = analyse_spectrogram_from_wav_file(input_wav_file_path, analysis_settings, dsp=dsp)
+    render_spectrogram_plots(
+        results, analysis_settings, plot_settings, output_basename, show_interactive,
+        input_wav_file_path,
+    )
+    return results
+
+
+def render_spectrogram_plots(
+    results: List[ChannelSpectrogramResult],
+    analysis_settings: SpectrogramAnalysisSettings,
+    plot_settings: SpectrogramPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figures + save only (host matplotlib); results come from analyse_*."""
     for result in results:
         fig = plot_spectrogram_figure(
             result,
             analysis_settings,
             plot_settings,
-            title=f"Spectrogram — {input_wav_file_path} — {result.channel_name}",
+            title=f"Spectrogram — {title_source} — {result.channel_name}",
         )
         output_path = (
             None
@@ -199,7 +240,6 @@ def plot_spectrogram_from_wav_file(
             else suffixed_png(output_basename, f"_spectrogram_{result.channel_name}")
         )
         finalize_and_show_or_save(fig, output_path, show_interactive)
-    return results
 
 
 def summarise_spectrogram_results_text(results: List[ChannelSpectrogramResult]) -> str:

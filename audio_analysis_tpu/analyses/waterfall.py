@@ -19,8 +19,8 @@ from typing import List, Optional, Tuple
 import matplotlib.pyplot as plt
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import logfreq, stft, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import logfreq, stft
 from audio_analysis_tpu.plot import (
     DEFAULT_DPI,
     DEFAULT_FIGURE_SIZE,
@@ -122,39 +122,13 @@ def select_slice_frame_indices(
     return np.unique(np.array(indices, dtype=np.int32))
 
 
-def analyse_waterfall_for_channel(
-    samples: np.ndarray,
+def _build_rel_db_slices(
+    mag_db: np.ndarray,
+    frame_times: np.ndarray,
     sample_rate_hz: int,
-    channel_name: str,
     settings: WaterfallAnalysisSettings,
-) -> ChannelWaterfallResult:
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
-        settings.trim_to_peak,
-        settings.ignore_leading_seconds,
-        settings.analysis_duration_seconds,
-    )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < settings.n_fft:
-        raise ValueError(
-            "Not enough samples after trimming/selection for waterfall (need at least n_fft)."
-        )
-
-    result = stft.stft_mag_db(
-        aligned.samples,
-        aligned.length,
-        int(settings.n_fft),
-        int(settings.hop_length),
-        bool(settings.use_hann_window),
-        float(settings.floor_db),
-    )
-    t_valid = int(np.asarray(result.num_frames)[0])
-    mag_db = np.asarray(result.mag_db)[0][:t_valid]  # (T, F)
-    frame_times = stft.frame_times_seconds(t_valid, settings.hop_length, sample_rate_hz)
-
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(slice_times (S,), freq (F,), rel_db (S, F)) from one channel's STFT."""
     frame_idx = select_slice_frame_indices(frame_times, settings)
     if frame_idx.size < 2:
         raise ValueError(
@@ -193,29 +167,76 @@ def analyse_waterfall_for_channel(
 
     dyn = float(max(10.0, settings.dynamic_range_db))
     rel = np.clip(rel, -dyn, 0.0).astype(np.float32)
+    return frame_times[frame_idx].astype(np.float32), f_sel, rel
 
-    return ChannelWaterfallResult(
-        channel_name=str(channel_name),
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        analysis_length_samples=seg_len,
-        slice_times_seconds=frame_times[frame_idx].astype(np.float32),
-        frequency_hz=f_sel,
-        slice_magnitude_rel_db=rel,
+
+def analyse_waterfall_channels(
+    dsp: FileDsp,
+    settings: WaterfallAnalysisSettings,
+) -> List[ChannelWaterfallResult]:
+    """All channels from the file's shared STFT (one batched kernel call)."""
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
     )
+    if int(seg_lens.min()) < settings.n_fft:
+        raise ValueError(
+            "Not enough samples after trimming/selection for waterfall (need at least n_fft)."
+        )
+
+    mag_all, num_frames = dsp.stft_db_host(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+        int(settings.n_fft),
+        int(settings.hop_length),
+        bool(settings.use_hann_window),
+        float(settings.floor_db),
+    )
+
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        t_valid = int(num_frames[i])
+        frame_times = stft.frame_times_seconds(t_valid, settings.hop_length, dsp.sample_rate_hz)
+        slice_times, f_sel, rel = _build_rel_db_slices(
+            mag_all[i][:t_valid], frame_times, dsp.sample_rate_hz, settings
+        )
+        results.append(
+            ChannelWaterfallResult(
+                channel_name=str(channel_name),
+                sample_rate_hz=dsp.sample_rate_hz,
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                slice_times_seconds=slice_times,
+                frequency_hz=f_sel,
+                slice_magnitude_rel_db=rel,
+            )
+        )
+    return results
+
+
+def analyse_waterfall_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: WaterfallAnalysisSettings,
+) -> ChannelWaterfallResult:
+    return analyse_waterfall_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_waterfall_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[WaterfallAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelWaterfallResult]:
     if settings is None:
         settings = WaterfallAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_waterfall_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_waterfall_channels(dsp, settings)
 
 
 def plot_waterfall_figure(
@@ -301,19 +322,36 @@ def plot_waterfall_from_wav_file(
     plot_settings: Optional[WaterfallPlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelWaterfallResult]:
     if analysis_settings is None:
         analysis_settings = WaterfallAnalysisSettings()
     if plot_settings is None:
         plot_settings = WaterfallPlotSettings()
 
-    results = analyse_waterfall_from_wav_file(input_wav_file_path, analysis_settings)
+    results = analyse_waterfall_from_wav_file(input_wav_file_path, analysis_settings, dsp=dsp)
+    render_waterfall_plots(
+        results, analysis_settings, plot_settings, output_basename, show_interactive,
+        input_wav_file_path,
+    )
+    return results
+
+
+def render_waterfall_plots(
+    results: List[ChannelWaterfallResult],
+    analysis_settings: WaterfallAnalysisSettings,
+    plot_settings: WaterfallPlotSettings,
+    output_basename: Optional[str | Path],
+    show_interactive: bool,
+    title_source: str | Path,
+) -> None:
+    """Figures + save only (host matplotlib); results come from analyse_*."""
     for r in results:
         fig = plot_waterfall_figure(
             r,
             analysis_settings,
             plot_settings,
-            title=f"Waterfall — {input_wav_file_path} — {r.channel_name}",
+            title=f"Waterfall — {title_source} — {r.channel_name}",
         )
         output_path = (
             None
@@ -321,7 +359,6 @@ def plot_waterfall_from_wav_file(
             else suffixed_png(output_basename, f"_waterfall_{r.channel_name}")
         )
         finalize_and_show_or_save(fig, output_path, show_interactive)
-    return results
 
 
 def summarise_waterfall_results_text(results: List[ChannelWaterfallResult]) -> str:

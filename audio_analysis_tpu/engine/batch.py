@@ -170,6 +170,10 @@ def analyze_batch(
     out["start_index"] = aligned.start_index
     out["segment_length"] = aligned.length
 
+    # ---- IR view stats (peak of the raw signal, pre-trim) ----
+    valid = jnp.arange(n, dtype=jnp.int32) < lengths_bc[..., None]
+    out["peak_abs"] = jnp.max(jnp.where(valid, jnp.abs(samples), 0.0), axis=-1)
+
     # ---- decay: EDC + fits ----
     curve = _edc(aligned.samples, aligned.length, config)
     c0 = dbfit.crossing_time(curve.edc_db, curve.length, 0.0, sr)
@@ -349,19 +353,23 @@ def analyze_batch(
         out["diff_median_echo_density"] = jnp.nanmedian(series.echo_density, axis=-1)
         out["diff_num_frames"] = series.num_frames
 
-        # stereo: align L/R at the peak of the (L+R)/2 downmix
-        combined = jnp.mean(samples, axis=1)  # (B, N)
-        comb_aligned = trim.align_for_analysis(
-            combined, lengths, sr, config.trim_to_peak, config.ignore_leading_seconds
-        )
-        start = comb_aligned.start_index
-        l_al = trim.shift_to(samples[:, 0, :], start, lengths)
-        r_al = trim.shift_to(samples[:, -1, :], start, lengths)
-        stereo = dops.stereo_diffusion_metrics(
-            l_al.samples, r_al.samples, l_al.length, win, hop, max_lag
-        )
-        out["diff_median_corr0"] = jnp.nanmedian(stereo.corr0, axis=-1)
-        out["diff_median_iacc"] = jnp.nanmedian(stereo.iacc_max, axis=-1)
+        # stereo-only metrics: the reference gates corr0/IACC on an actual
+        # stereo file (diffusion.py:154-202) — a mono batch has no L/R pair
+        # (corr0 would be identically 1.0), so C is gated statically here.
+        if c == 2:
+            # align L/R at the peak of the (L+R)/2 downmix
+            combined = jnp.mean(samples, axis=1)  # (B, N)
+            comb_aligned = trim.align_for_analysis(
+                combined, lengths, sr, config.trim_to_peak, config.ignore_leading_seconds
+            )
+            start = comb_aligned.start_index
+            l_al = trim.shift_to(samples[:, 0, :], start, lengths)
+            r_al = trim.shift_to(samples[:, -1, :], start, lengths)
+            stereo = dops.stereo_diffusion_metrics(
+                l_al.samples, r_al.samples, l_al.length, win, hop, max_lag
+            )
+            out["diff_median_corr0"] = jnp.nanmedian(stereo.corr0, axis=-1)
+            out["diff_median_iacc"] = jnp.nanmedian(stereo.iacc_max, axis=-1)
 
     return out
 

@@ -145,6 +145,42 @@ def stft_magnitude_db(
     return t, freq, mag_db
 
 
+def waterfall_rel_db_slices(
+    slices_db: np.ndarray,
+    db_reference: str,
+    dynamic_range_db: float,
+) -> np.ndarray:
+    """
+    Waterfall relative-dB normalisation (reference waterfall.py:289-341):
+    subtract the global max (or each slice's own max), clip to [-dyn, 0].
+    slices_db: (S, F) absolute dB values of the selected slice frames.
+    """
+    s = np.asarray(slices_db, dtype=np.float64).copy()
+    if str(db_reference).lower() == "slice_max":
+        for i in range(s.shape[0]):
+            s[i] -= s[i].max()
+    else:
+        s -= s.max()
+    dyn = float(max(10.0, dynamic_range_db))
+    return np.clip(s, -dyn, 0.0)
+
+
+def spectrogram_color_scale(
+    mag_db: np.ndarray,
+    dynamic_range_db: Optional[float] = 90.0,
+) -> Tuple[float, float]:
+    """
+    Spectrogram colour limits (reference spectrogram.py:278-289):
+    vmax = 99.5th percentile; vmin = vmax - dynamic range (or 5th pct).
+    """
+    vmax = float(np.percentile(np.asarray(mag_db, np.float64), 99.5))
+    if dynamic_range_db is not None:
+        vmin = vmax - float(dynamic_range_db)
+    else:
+        vmin = float(np.percentile(np.asarray(mag_db, np.float64), 5.0))
+    return vmin, vmax
+
+
 # ----------------------------------------------------------------------------
 # FFT band masks
 # ----------------------------------------------------------------------------

@@ -20,19 +20,41 @@ import matplotlib.pyplot as plt  # noqa: E402
 import matplotlib.ticker as mticker  # noqa: E402
 import numpy as np  # noqa: E402
 
-DEFAULT_FIGURE_SIZE = (10.0, 6.0)
-DEFAULT_DPI = 100
-DEFAULT_GRID = True
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class FigureStyle:
+    """House style for every figure the framework emits (10x6 in @ 100 dpi,
+    grid on — the same visual contract as the reference toolkit's plots)."""
+
+    width_inches: float = 10.0
+    height_inches: float = 6.0
+    dpi: int = 100
+    grid: bool = True
+
+    @property
+    def size(self) -> Tuple[float, float]:
+        return (self.width_inches, self.height_inches)
+
+
+HOUSE_STYLE = FigureStyle()
+
+# Back-compat constants (several analyses read these directly).
+DEFAULT_FIGURE_SIZE = HOUSE_STYLE.size
+DEFAULT_DPI = HOUSE_STYLE.dpi
+DEFAULT_GRID = HOUSE_STYLE.grid
 
 
 def create_figure_and_axis(
     title: Optional[str] = None,
     figure_size: Tuple[float, float] = DEFAULT_FIGURE_SIZE,
+    style: FigureStyle = HOUSE_STYLE,
 ) -> Tuple[plt.Figure, plt.Axes]:
-    figure, axis = plt.subplots(figsize=figure_size, dpi=DEFAULT_DPI)
-    if title is not None:
-        axis.set_title(title)
-    axis.grid(DEFAULT_GRID)
+    """One styled figure with a single axes; title and grid pre-applied."""
+    figure = plt.figure(figsize=figure_size, dpi=style.dpi)
+    axis = figure.add_subplot(1, 1, 1, title=title)
+    axis.grid(style.grid)
     return figure, axis
 
 
@@ -41,16 +63,21 @@ def finalize_and_show_or_save(
     output_path: Optional[str | Path] = None,
     show_interactive: bool = True,
 ) -> None:
-    """Save as PNG and close, or show interactively then close."""
-    if output_path is not None:
-        output_path = Path(output_path)
-        output_path.parent.mkdir(parents=True, exist_ok=True)
-        figure.savefig(output_path, bbox_inches="tight")
+    """
+    Dispose of a finished figure: PNG to `output_path` when given (parent
+    dirs created, tight bounding box), else an interactive window when
+    requested. The figure is always closed afterwards so long report runs
+    never accumulate matplotlib state.
+    """
+    try:
+        if output_path is not None:
+            target = Path(output_path)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            figure.savefig(target, bbox_inches="tight")
+        elif show_interactive:
+            plt.show()
+    finally:
         plt.close(figure)
-        return
-    if show_interactive:
-        plt.show()
-    plt.close(figure)
 
 
 def label_time_axis_seconds(axis: plt.Axes) -> None:

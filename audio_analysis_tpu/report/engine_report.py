@@ -61,6 +61,19 @@ def format_tap_summary(
     """All per-tap deterministic summaries in the reference text formats."""
     md: List[str] = []
 
+    if "peak_abs" in out:
+        # IR view (the plot-based report's first block; images are replaced
+        # by the deterministic stats the plots visualise)
+        md.append("## Impulse response\n\n```text")
+        for c, ch in enumerate(channel_names):
+            seg = int(out["segment_length"][b, c])
+            md.append(
+                f"[{ch}] peak_sample={int(out['start_index'][b, c])}  "
+                f"peak_abs={out['peak_abs'][b, c]:.6f}  "
+                f"dur={seg / sample_rate_hz:.3f}s"
+            )
+        md.append("```\n")
+
     md.append("## Decay / EDC\n\n```text")
     for c, ch in enumerate(channel_names):
         md.append(f"[{ch}] analysis_start_sample_index={int(out['start_index'][b, c])}")
@@ -149,7 +162,8 @@ def format_tap_summary(
             md.append(f"[{ch}]")
             md.append(f"  median_max_abs_autocorr={out['diff_median_autocorr'][b, c]:.3f}")
             md.append(f"  median_echo_density={out['diff_median_echo_density'][b, c]:.3f}")
-            if len(channel_names) == 2:
+            # stereo-only metrics exist only when the engine ran on C==2
+            if "diff_median_corr0" in out:
                 md.append(f"  median_corr0={out['diff_median_corr0'][b]:.3f}")
                 md.append(f"  median_iacc_max={out['diff_median_iacc'][b]:.3f}")
         md.append("```\n")

@@ -14,30 +14,35 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, replace
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 from audio_analysis_tpu.analyses.decay import (
     DecayAnalysisSettings,
     DecayPlotSettings,
-    plot_decay_from_wav_file,
+    analyse_decay_from_wav_file,
+    render_decay_plots,
     summarise_decay_results_text,
 )
 from audio_analysis_tpu.analyses.diffusion import (
     DiffusionAnalysisSettings,
-    plot_diffusion_from_wav_file,
+    analyse_diffusion_from_wav_file,
+    render_diffusion_plots,
     summarise_diffusion_results_text,
 )
 from audio_analysis_tpu.analyses.frequency_response import (
     FrequencyResponseAnalysisSettings,
     FrequencyResponsePlotSettings,
-    plot_frequency_response_from_wav_file,
+    analyse_frequency_response_from_wav_file,
+    render_frequency_response_plots,
     summarise_frequency_response_results_text,
 )
 from audio_analysis_tpu.analyses.group_delay import (
     GroupDelayAnalysisSettings,
     GroupDelayPlotSettings,
-    plot_group_delay_from_wav_file,
+    analyse_group_delay_from_wav_file,
+    render_group_delay_plots,
     summarise_group_delay_results_text,
 )
 from audio_analysis_tpu.analyses.impulse_response import (
@@ -47,28 +52,34 @@ from audio_analysis_tpu.analyses.impulse_response import (
 from audio_analysis_tpu.analyses.modalcloud import (
     ModalCloudAnalysisSettings,
     ModalCloudPlotSettings,
-    plot_modal_cloud_from_wav_file,
+    analyse_modal_cloud_from_wav_file,
+    render_modal_cloud_plots,
     summarise_modal_cloud_results_text,
 )
 from audio_analysis_tpu.analyses.rt60bands import (
     Rt60BandsAnalysisSettings,
     Rt60BandsPlotSettings,
-    plot_rt60_bands_from_wav_file,
+    analyse_rt60_bands_from_wav_file,
+    render_rt60_bands_plots,
     summarise_rt60_bands_results_text,
 )
 from audio_analysis_tpu.analyses.spectrogram import (
     SpectrogramAnalysisSettings,
     SpectrogramPlotSettings,
-    plot_spectrogram_from_wav_file,
+    analyse_spectrogram_from_wav_file,
+    render_spectrogram_plots,
     summarise_spectrogram_results_text,
 )
 from audio_analysis_tpu.analyses.waterfall import (
     WaterfallAnalysisSettings,
     WaterfallPlotSettings,
-    plot_waterfall_from_wav_file,
+    analyse_waterfall_from_wav_file,
+    render_waterfall_plots,
     summarise_waterfall_results_text,
 )
+from audio_analysis_tpu.analyses._common import FileDsp
 from audio_analysis_tpu.io import DEFAULT_EXPECTED_SAMPLE_RATE_HZ, load_wav_file
+from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
 from audio_analysis_tpu.utils.timing import BlockTimer
 
 
@@ -89,6 +100,7 @@ class ReportSettings:
     run_modal_cloud: bool = True
     run_echo_density: bool = True  # echo density ships inside the diffusion block
     include_timing_footer: bool = False  # per-block wall-clock table at the end
+    overlap_plotting: bool = True  # render figures on a worker thread
 
     expected_sample_rate_hz: int = DEFAULT_EXPECTED_SAMPLE_RATE_HZ
 
@@ -200,155 +212,248 @@ def run_report_from_wav_file(
     mono = settings.common_use_mono_downmix_for_stereo
     left_name, right_name = ("mono", None) if mono else ("left", "right")
 
-    if settings.run_impulse_response_plots:
-        with timer.block("impulse_response"):
-            ir_settings = _apply_common_overrides(
-                settings.ir_view_settings or ImpulseResponseViewSettings(), settings
-            )
-            plot_ir_from_wav_file(
-                input_wav_file_path, ir_settings, output_basename, show_interactive=False
-            )
-            md.append(_md_section("Impulse response"))
-            md.append(_md_image(output_basename, "", "Impulse response overview"))
-            md.append(_md_image(output_basename, "_early", "Early reflections"))
-            md.append(_md_image(output_basename, "_tail", "Tail (log magnitude)"))
-    if settings.run_decay:
-        with timer.block("decay"):
-            decay_results = plot_decay_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.decay_analysis_settings or DecayAnalysisSettings(), settings
-                ),
-                settings.decay_plot_settings or DecayPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Decay / EDC"))
-            md.append(_md_image(output_basename, "_decay", "Decay analysis (T20/T30/RT60/EDT)"))
-            md.append(_md_codeblock(summarise_decay_results_text(decay_results)))
-    if settings.run_rt60_bands:
-        with timer.block("rt60_bands"):
-            rt60_settings = _apply_common_overrides(
-                settings.rt60_bands_settings or Rt60BandsAnalysisSettings(), settings
-            )
-            # the common knobs live on the nested decay settings
-            rt60_settings = replace(
-                rt60_settings,
-                decay_settings=_apply_common_overrides(rt60_settings.decay_settings, settings),
-            )
-            rt60_results = plot_rt60_bands_from_wav_file(
-                input_wav_file_path,
-                rt60_settings,
-                settings.rt60_bands_plot_settings or Rt60BandsPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("RT60 by band"))
-            md.append(_md_image(output_basename, "_rt60bands", "RT60 by frequency band"))
-            md.append(
-                _md_codeblock(
-                    summarise_rt60_bands_results_text(
-                        rt60_results,
-                        include_t20=bool(rt60_settings.include_t20),
-                        include_edt=bool(rt60_settings.include_edt),
+    # ONE device context for the whole suite: the signal is uploaded once,
+    # the trim alignment is computed once, spectrogram + waterfall share a
+    # single 4096-STFT and modal cloud adds a single 8192-STFT — the
+    # reference re-reads the WAV ~10x and recomputes the STFT 3x per report
+    # (SURVEY §3.2; spectrogram.py:146-155, waterfall.py:220-227,
+    # modalcloud.py:149-155).
+    dsp = FileDsp.from_wav_file(input_wav_file_path, mono)
+
+    # Figure rendering rides a single worker thread (matplotlib confined to
+    # it) so the device dispatch + tunnel fetches of block k+1 overlap the
+    # rasterisation of block k (SURVEY §7 "overlap host plotting with device
+    # compute"). Summaries are still assembled in order from the analyse
+    # results, so the markdown is byte-identical to the sequential path.
+    with MaybePlotWorker(settings.overlap_plotting) as plots:
+        if settings.run_impulse_response_plots:
+            with timer.block("impulse_response"):
+                ir_settings = _apply_common_overrides(
+                    settings.ir_view_settings or ImpulseResponseViewSettings(), settings
+                )
+                plots.submit(
+                    partial(
+                        plot_ir_from_wav_file,
+                        input_wav_file_path,
+                        ir_settings,
+                        output_basename,
+                        show_interactive=False,
                     )
                 )
-            )
-    if settings.run_frequency_response:
-        with timer.block("frequency_response"):
-            fr_results = plot_frequency_response_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
+                md.append(_md_section("Impulse response"))
+                md.append(_md_image(output_basename, "", "Impulse response overview"))
+                md.append(_md_image(output_basename, "_early", "Early reflections"))
+                md.append(_md_image(output_basename, "_tail", "Tail (log magnitude)"))
+        if settings.run_decay:
+            with timer.block("decay"):
+                decay_settings = _apply_common_overrides(
+                    settings.decay_analysis_settings or DecayAnalysisSettings(), settings
+                )
+                decay_results = analyse_decay_from_wav_file(
+                    input_wav_file_path, decay_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_decay_plots,
+                        decay_results,
+                        decay_settings,
+                        settings.decay_plot_settings or DecayPlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Decay / EDC"))
+                md.append(_md_image(output_basename, "_decay", "Decay analysis (T20/T30/RT60/EDT)"))
+                md.append(_md_codeblock(summarise_decay_results_text(decay_results)))
+        if settings.run_rt60_bands:
+            with timer.block("rt60_bands"):
+                rt60_settings = _apply_common_overrides(
+                    settings.rt60_bands_settings or Rt60BandsAnalysisSettings(), settings
+                )
+                # the common knobs live on the nested decay settings
+                rt60_settings = replace(
+                    rt60_settings,
+                    decay_settings=_apply_common_overrides(rt60_settings.decay_settings, settings),
+                )
+                rt60_results = analyse_rt60_bands_from_wav_file(
+                    input_wav_file_path, rt60_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_rt60_bands_plots,
+                        rt60_results,
+                        rt60_settings,
+                        settings.rt60_bands_plot_settings or Rt60BandsPlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("RT60 by band"))
+                md.append(_md_image(output_basename, "_rt60bands", "RT60 by frequency band"))
+                md.append(
+                    _md_codeblock(
+                        summarise_rt60_bands_results_text(
+                            rt60_results,
+                            include_t20=bool(rt60_settings.include_t20),
+                            include_edt=bool(rt60_settings.include_edt),
+                        )
+                    )
+                )
+        if settings.run_frequency_response:
+            with timer.block("frequency_response"):
+                fr_settings = _apply_common_overrides(
                     settings.frequency_response_analysis_settings
                     or FrequencyResponseAnalysisSettings(),
                     settings,
-                ),
-                settings.frequency_response_plot_settings or FrequencyResponsePlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Frequency response"))
-            md.append(_md_image(output_basename, "_fr", "Frequency response spectrum"))
-            md.append(_md_codeblock(summarise_frequency_response_results_text(fr_results)))
-    if settings.run_group_delay:
-        with timer.block("group_delay"):
-            gd_results = plot_group_delay_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.group_delay_analysis_settings or GroupDelayAnalysisSettings(), settings
-                ),
-                settings.group_delay_plot_settings or GroupDelayPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Group delay"))
-            md.append(_md_image(output_basename, "_groupdelay", "Group delay vs frequency"))
-            md.append(_md_codeblock(summarise_group_delay_results_text(gd_results)))
-    if settings.run_spectrogram:
-        with timer.block("spectrogram"):
-            spec_results = plot_spectrogram_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.spectrogram_analysis_settings or SpectrogramAnalysisSettings(), settings
-                ),
-                settings.spectrogram_plot_settings or SpectrogramPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Spectrogram"))
-            md.append(_md_image(output_basename, f"_spectrogram_{left_name}", "Spectrogram"))
-            if right_name:
-                md.append(
-                    _md_image(output_basename, f"_spectrogram_{right_name}", "Spectrogram (right)")
                 )
-            md.append(_md_codeblock(summarise_spectrogram_results_text(spec_results)))
-    if settings.run_waterfall:
-        with timer.block("waterfall"):
-            wf_results = plot_waterfall_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.waterfall_analysis_settings or WaterfallAnalysisSettings(), settings
-                ),
-                settings.waterfall_plot_settings or WaterfallPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Waterfall"))
-            md.append(_md_image(output_basename, f"_waterfall_{left_name}", "Waterfall plot"))
-            if right_name:
-                md.append(_md_image(output_basename, f"_waterfall_{right_name}", "Waterfall (right)"))
-            md.append(_md_codeblock(summarise_waterfall_results_text(wf_results)))
-    if settings.run_diffusion:
-        with timer.block("diffusion"):
-            diff_results = plot_diffusion_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.diffusion_analysis_settings
-                    or DiffusionAnalysisSettings(hop_seconds=0.05, max_lag_milliseconds=5.0),
+                fr_results = analyse_frequency_response_from_wav_file(
+                    input_wav_file_path, fr_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_frequency_response_plots,
+                        fr_results,
+                        fr_settings,
+                        settings.frequency_response_plot_settings
+                        or FrequencyResponsePlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Frequency response"))
+                md.append(_md_image(output_basename, "_fr", "Frequency response spectrum"))
+                md.append(_md_codeblock(summarise_frequency_response_results_text(fr_results)))
+        if settings.run_group_delay:
+            with timer.block("group_delay"):
+                gd_settings = _apply_common_overrides(
+                    settings.group_delay_analysis_settings or GroupDelayAnalysisSettings(),
                     settings,
-                ),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Diffusion / echo density proxy"))
-            md.append(_md_image(output_basename, "_diffusion", "Diffusion metrics over time"))
-            md.append(_md_codeblock(summarise_diffusion_results_text(diff_results)))
-    if settings.run_modal_cloud:
-        with timer.block("modal_cloud"):
-            modal_results = plot_modal_cloud_from_wav_file(
-                input_wav_file_path,
-                _apply_common_overrides(
-                    settings.modal_cloud_analysis_settings or ModalCloudAnalysisSettings(), settings
-                ),
-                settings.modal_cloud_plot_settings or ModalCloudPlotSettings(),
-                output_basename,
-                show_interactive=False,
-            )
-            md.append(_md_section("Modal cloud"))
-            md.append(_md_image(output_basename, f"_modalcloud_{left_name}", "Modal cloud"))
-            if right_name:
-                md.append(_md_image(output_basename, f"_modalcloud_{right_name}", "Modal cloud (right)"))
-            md.append(_md_codeblock(summarise_modal_cloud_results_text(modal_results)))
+                )
+                gd_results = analyse_group_delay_from_wav_file(
+                    input_wav_file_path, gd_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_group_delay_plots,
+                        gd_results,
+                        settings.group_delay_plot_settings or GroupDelayPlotSettings(),
+                        output_basename,
+                        False,
+                    )
+                )
+                md.append(_md_section("Group delay"))
+                md.append(_md_image(output_basename, "_groupdelay", "Group delay vs frequency"))
+                md.append(_md_codeblock(summarise_group_delay_results_text(gd_results)))
+        if settings.run_spectrogram:
+            with timer.block("spectrogram"):
+                spec_settings = _apply_common_overrides(
+                    settings.spectrogram_analysis_settings or SpectrogramAnalysisSettings(),
+                    settings,
+                )
+                spec_results = analyse_spectrogram_from_wav_file(
+                    input_wav_file_path, spec_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_spectrogram_plots,
+                        spec_results,
+                        spec_settings,
+                        settings.spectrogram_plot_settings or SpectrogramPlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Spectrogram"))
+                md.append(_md_image(output_basename, f"_spectrogram_{left_name}", "Spectrogram"))
+                if right_name:
+                    md.append(
+                        _md_image(
+                            output_basename, f"_spectrogram_{right_name}", "Spectrogram (right)"
+                        )
+                    )
+                md.append(_md_codeblock(summarise_spectrogram_results_text(spec_results)))
+        if settings.run_waterfall:
+            with timer.block("waterfall"):
+                wf_settings = _apply_common_overrides(
+                    settings.waterfall_analysis_settings or WaterfallAnalysisSettings(), settings
+                )
+                wf_results = analyse_waterfall_from_wav_file(
+                    input_wav_file_path, wf_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_waterfall_plots,
+                        wf_results,
+                        wf_settings,
+                        settings.waterfall_plot_settings or WaterfallPlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Waterfall"))
+                md.append(_md_image(output_basename, f"_waterfall_{left_name}", "Waterfall plot"))
+                if right_name:
+                    md.append(
+                        _md_image(output_basename, f"_waterfall_{right_name}", "Waterfall (right)")
+                    )
+                md.append(_md_codeblock(summarise_waterfall_results_text(wf_results)))
+        if settings.run_diffusion:
+            with timer.block("diffusion"):
+                diff_results = analyse_diffusion_from_wav_file(
+                    input_wav_file_path,
+                    _apply_common_overrides(
+                        settings.diffusion_analysis_settings
+                        or DiffusionAnalysisSettings(hop_seconds=0.05, max_lag_milliseconds=5.0),
+                        settings,
+                    ),
+                    dsp=dsp,
+                )
+                plots.submit(
+                    partial(
+                        render_diffusion_plots,
+                        diff_results,
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Diffusion / echo density proxy"))
+                md.append(_md_image(output_basename, "_diffusion", "Diffusion metrics over time"))
+                md.append(_md_codeblock(summarise_diffusion_results_text(diff_results)))
+        if settings.run_modal_cloud:
+            with timer.block("modal_cloud"):
+                modal_settings = _apply_common_overrides(
+                    settings.modal_cloud_analysis_settings or ModalCloudAnalysisSettings(),
+                    settings,
+                )
+                modal_results = analyse_modal_cloud_from_wav_file(
+                    input_wav_file_path, modal_settings, dsp=dsp
+                )
+                plots.submit(
+                    partial(
+                        render_modal_cloud_plots,
+                        modal_results,
+                        modal_settings,
+                        settings.modal_cloud_plot_settings or ModalCloudPlotSettings(),
+                        output_basename,
+                        False,
+                        input_wav_file_path,
+                    )
+                )
+                md.append(_md_section("Modal cloud"))
+                md.append(_md_image(output_basename, f"_modalcloud_{left_name}", "Modal cloud"))
+                if right_name:
+                    md.append(
+                        _md_image(output_basename, f"_modalcloud_{right_name}", "Modal cloud (right)")
+                    )
+                md.append(_md_codeblock(summarise_modal_cloud_results_text(modal_results)))
+        with timer.block("plot_render_drain"):
+            plots.drain()
     if settings.include_timing_footer:
         md.append(timer.as_markdown())
 

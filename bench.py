@@ -131,34 +131,140 @@ def bench_device() -> dict:
     }
 
 
-def bench_cpu_reference(taps: int = 1) -> float:
-    """Per-tap seconds for the reference algorithm (oracle, float64 CPU)."""
+def bench_cpu_reference(taps: int = 5) -> float:
+    """
+    Per-tap seconds for the reference algorithm: the float64 NumPy oracle
+    (single-threaded), averaged over `taps` distinct taps. Workload
+    generation happens OUTSIDE the timed region, mirroring the device bench
+    whose inputs are pre-generated.
+    """
     from audio_analysis_tpu import oracle
 
     rng = np.random.default_rng(42)
     t = np.arange(NUM_SAMPLES) / SR
     env = (10.0 ** (-3.0 * t / 1.2)).astype(np.float32)
-
-    start = time.perf_counter()
+    workload = []
     for _ in range(taps):
         for _ch in range(2):
             x = (0.05 * rng.standard_normal(NUM_SAMPLES) * env).astype(np.float32)
             x[256] = 0.9
-            xf = x.astype(np.float64)
-            tt, edc_db, _ = oracle.schroeder_edc_db(xf, SR)
-            for rng_db in ((-5.0, -25.0), (-5.0, -35.0), (0.0, -10.0)):
-                oracle.fit_decay_slope(tt, edc_db, rng_db)
-            seg = xf[int(np.argmax(np.abs(xf))):]
-            oracle.stft_magnitude_db(seg, SR, 4096, 512)
+            workload.append(x.astype(np.float64))
+
+    start = time.perf_counter()
+    for xf in workload:
+        tt, edc_db, _ = oracle.schroeder_edc_db(xf, SR)
+        for rng_db in ((-5.0, -25.0), (-5.0, -35.0), (0.0, -10.0)):
+            oracle.fit_decay_slope(tt, edc_db, rng_db)
+        seg = xf[int(np.argmax(np.abs(xf))):]
+        oracle.stft_magnitude_db(seg, SR, 4096, 512)
     return (time.perf_counter() - start) / taps
+
+
+# ----------------------------------------------------------------------------
+# end-to-end bundle benchmarks (SURVEY §7 "honest speed accounting": wall
+# clock including WAV decode and markdown/plot output, on a real on-disk
+# 64-tap bundle)
+# ----------------------------------------------------------------------------
+
+BUNDLE_DIR = "/tmp/aa_tpu_bench_bundle_v1"
+PLOT_TAPS = 8
+
+
+def _bench_bundle_on_disk() -> str:
+    """Deterministic 64-tap stereo bundle on disk (reused across runs)."""
+    import shutil
+    from pathlib import Path
+
+    from audio_analysis_tpu.io.bundle import read_bundle_meta, write_bundle
+
+    root = Path(BUNDLE_DIR)
+    if (root / "meta.json").exists():
+        try:
+            meta = read_bundle_meta(root)
+            if len(meta.taps) == BATCH and meta.sample_rate_hz == SR:
+                return str(root)
+        except Exception:
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+
+    rng = np.random.default_rng(7)
+    t = np.arange(NUM_SAMPLES) / SR
+    taps = {}
+    for i in range(BATCH):
+        rt60 = 0.9 + 0.7 * (i / max(1, BATCH - 1))
+        env = (10.0 ** (-3.0 * t / rt60)).astype(np.float32)
+        x = np.zeros((NUM_SAMPLES, 2), np.float32)
+        x[256:, :] = (
+            0.05 * rng.standard_normal((NUM_SAMPLES - 256, 2)).astype(np.float32)
+            * env[: NUM_SAMPLES - 256, None]
+        )
+        x[256, :] = 0.9
+        taps[f"tap{i:02d}"] = x
+    write_bundle(root, taps, SR)
+    return str(root)
+
+
+def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
+    """
+    Native decode -> fused engine -> per-tap markdown, full wall-clock.
+    `cold` includes jit trace + persistent-cache load; `warm` is the
+    steady-state iterate-loop number.
+    """
+    import shutil
+    from pathlib import Path
+
+    from audio_analysis_tpu.report.engine_report import run_bundle_report_engine
+
+    timings = {}
+    for label in ("cold", "warm"):
+        shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
+        start = time.perf_counter()
+        index = run_bundle_report_engine(bundle_root)
+        timings[label] = time.perf_counter() - start
+        assert index.exists()
+    return timings
+
+
+def bench_bundle_plots_end_to_end(bundle_root: str) -> float:
+    """
+    The full plot-based report path (matplotlib rendering overlapped with
+    device compute on the plot-worker thread) over PLOT_TAPS taps.
+    """
+    import json as json_mod
+    import shutil
+    from pathlib import Path
+
+    from audio_analysis_tpu.report.bundle import run_bundle_report
+
+    src = Path(bundle_root)
+    sub = Path(f"{bundle_root}_plots{PLOT_TAPS}")
+    shutil.rmtree(sub, ignore_errors=True)
+    (sub / "taps").mkdir(parents=True)
+    meta = json_mod.loads((src / "meta.json").read_text())
+    meta["taps"] = meta["taps"][:PLOT_TAPS]
+    (sub / "meta.json").write_text(json_mod.dumps(meta))
+    for tap in meta["taps"]:
+        (sub / "taps" / f"{tap}.wav").symlink_to(src / "taps" / f"{tap}.wav")
+
+    start = time.perf_counter()
+    index = run_bundle_report(sub)
+    elapsed = time.perf_counter() - start
+    assert index.exists()
+    failed = index.read_text().count("FAILED")
+    assert failed == 0, f"{failed} taps failed in the plot-path bench"
+    return elapsed
 
 
 def main() -> None:
     device = bench_device()
     device_irs_per_sec = BATCH / device["device_seconds"]
 
-    cpu_seconds_per_ir = bench_cpu_reference(taps=1)
+    cpu_seconds_per_ir = bench_cpu_reference(taps=5)
     cpu_irs_per_sec = 1.0 / cpu_seconds_per_ir
+
+    bundle_root = _bench_bundle_on_disk()
+    e2e = bench_bundle_engine_end_to_end(bundle_root)
+    plots_seconds = bench_bundle_plots_end_to_end(bundle_root)
 
     import jax
 
@@ -174,7 +280,18 @@ def main() -> None:
                 "upload_inclusive_seconds_per_chunk": round(
                     device["upload_inclusive_seconds_per_chunk"], 4
                 ),
+                # end-to-end on a real on-disk 64-tap bundle: decode ->
+                # engine -> markdown (no plots); warm = steady-state rerun
+                "end_to_end_seconds": round(e2e["cold"], 4),
+                "end_to_end_warm_seconds": round(e2e["warm"], 4),
+                # full plot-based report path (matplotlib overlapped with
+                # device compute) over PLOT_TAPS taps of the same bundle
+                "plots_end_to_end_seconds": round(plots_seconds, 4),
+                "plots_end_to_end_taps": PLOT_TAPS,
+                "plots_seconds_per_tap": round(plots_seconds / PLOT_TAPS, 4),
+                # single-threaded float64 NumPy oracle, 5-tap average
                 "cpu_seconds_per_ir": round(cpu_seconds_per_ir, 3),
+                "cpu_baseline": "numpy_f64_single_thread_5tap_avg",
                 "backend": jax.default_backend(),
                 "batch": BATCH,
                 "samples_per_tap": NUM_SAMPLES,

@@ -62,8 +62,13 @@ int probe_wav(const std::string& path, WavInfo& info) {
         if (!read_exact(f, chunk_id, 4) || !read_exact(f, &chunk_size, 4)) break;
 
         if (std::memcmp(chunk_id, "fmt ", 4) == 0) {
+            // chunk_size is untrusted 32-bit input: cap before allocating
+            // (a corrupt header could otherwise request a ~4 GB buffer).
+            constexpr uint32_t kMaxFmtChunkBytes = 64 * 1024;
+            if (chunk_size < 16 || chunk_size > kMaxFmtChunkBytes) return kErrFormat;
             std::vector<char> fmt(chunk_size);
-            if (!read_exact(f, fmt.data(), chunk_size) || chunk_size < 16) return kErrFormat;
+            if (!read_exact(f, fmt.data(), chunk_size)) return kErrFormat;
+            if (chunk_size & 1) f.seekg(1, std::ios::cur);  // RIFF pad byte
             std::memcpy(&info.format, fmt.data() + 0, 2);
             std::memcpy(&info.channels, fmt.data() + 2, 2);
             std::memcpy(&info.sample_rate, fmt.data() + 4, 4);

@@ -60,6 +60,45 @@ class TestNativeLoader:
         with pytest.raises(IOError):
             native.read_wav_info(p)
 
+    def test_probe_rejects_huge_fmt_chunk(self, tmp_path):
+        # A corrupt header claiming a ~4 GB fmt chunk must be rejected before
+        # any allocation (cpp/audioio.cpp fmt cap), not crash or hang.
+        import struct
+
+        p = tmp_path / "hugefmt.wav"
+        body = b"WAVE" + b"fmt " + struct.pack("<I", 0xFFFF0000) + b"\x00" * 32
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        with pytest.raises(IOError):
+            native.read_wav_info(p)
+
+    def test_probe_skips_odd_fmt_chunk_pad_byte(self, tmp_path):
+        # Odd-sized fmt chunk: the RIFF pad byte must be skipped so the
+        # following data chunk still parses.
+        import struct
+
+        frames, channels = 7, 1
+        fmt_payload = struct.pack("<HHIIHH", 1, channels, 48000, 96000, 2, 16) + b"\x00"
+        data = b"\x01\x00" * frames
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload + b"\x00"
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        p = tmp_path / "oddfmt.wav"
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        got_frames, got_channels, got_rate = native.read_wav_info(p)
+        assert (got_frames, got_channels, got_rate) == (frames, channels, 48000)
+
+    def test_pure_python_header_probe(self, tmp_path):
+        from scipy.io import wavfile
+
+        from audio_analysis_tpu.io.wav import read_wav_header_info
+
+        x = np.random.default_rng(3).standard_normal((1234, 2)).astype(np.float32)
+        p = tmp_path / "probe.wav"
+        wavfile.write(str(p), SR, (x * 32767).astype(np.int16))
+        assert read_wav_header_info(p) == (1234, 2, SR)
+
 
 def test_json_emission_roundtrip(tmp_path):
     from audio_analysis_tpu.analyses import decay
