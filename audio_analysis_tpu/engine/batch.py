@@ -158,6 +158,10 @@ def analyze_batch(
 ) -> Dict[str, jnp.ndarray]:
     """The full fused metric computation. Returns a dict of (B, C, ...) arrays."""
     sr = config.sample_rate_hz
+    if samples.dtype == jnp.int16:
+        # PCM16 arrives raw and converts ON DEVICE (io.py:58-64 scaling):
+        # the host->device transfer ships half the bytes of float32.
+        samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
     b, c, n = samples.shape
     lengths_bc = jnp.broadcast_to(lengths[:, None], (b, c))
 

@@ -122,3 +122,36 @@ def load_bundle_batch(
     for i, l in enumerate(loaded):
         batch[i, :, : l.samples.shape[0]] = l.samples.T
     return meta, batch, lengths, meta.taps
+
+
+def load_bundle_batch_i16(
+    bundle_root: str | Path,
+    pad_multiple: int = 4096,
+    num_threads: int = 8,
+):
+    """
+    PCM16 fast path: (meta, (B, C=2, N_max) int16 batch, (B,) int32 lengths,
+    names) with NO host float conversion — the engine scales by 1/32768 on
+    the device, so host decode and the host->device transfer both move half
+    the bytes of `load_bundle_batch`. Returns None when the native library
+    is missing or any tap is not plain PCM16 (use the f32 loader then).
+    """
+    if not native.available():
+        return None
+    bundle_root = Path(bundle_root)
+    meta = read_bundle_meta(bundle_root)
+    paths = [bundle_root / "taps" / f"{t}.wav" for t in meta.taps]
+
+    lengths = []
+    for p in paths:
+        frames, _, rate = native.read_wav_info(p)
+        if rate != meta.sample_rate_hz:
+            raise ValueError(f"Tap {p} sample rate {rate} != bundle {meta.sample_rate_hz}")
+        lengths.append(frames)
+    n_max = _round_up(max(lengths) if lengths else pad_multiple, pad_multiple)
+
+    result = native.read_bundle_planar_i16(paths, n_max, 2, num_threads)
+    if result is None:
+        return None
+    batch_i16, length_arr = result
+    return meta, batch_i16, length_arr.astype(np.int32), meta.taps

@@ -83,6 +83,17 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.aa_read_bundle_f32.restype = ctypes.c_int32
 
+    lib.aa_read_bundle_planar_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),  # paths
+        ctypes.c_int32,  # num files
+        ctypes.POINTER(ctypes.c_int16),  # out (B, C, N_max) planar
+        ctypes.c_int64,  # N_max (frames)
+        ctypes.c_int32,  # C
+        ctypes.POINTER(ctypes.c_int64),  # out lengths per file
+        ctypes.c_int32,  # num threads
+    ]
+    lib.aa_read_bundle_planar_i16.restype = ctypes.c_int32
+
 
 def available() -> bool:
     return _load() is not None
@@ -167,4 +178,38 @@ def read_bundle(
     )
     if rc != 0:
         raise IOError(f"native bundle decode failed ({rc})")
+    return out, lengths
+
+
+def read_bundle_planar_i16(
+    paths: List[Path],
+    n_max: int,
+    channels: int,
+    num_threads: int = 8,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """
+    PCM16 bundle fast path: zero-padded PLANAR (B, C, N_max) int16 batch —
+    half the bytes of the f32 path on the host AND across the host->device
+    link (the device converts /32768 on-chip). Returns None when any tap is
+    not plain PCM16 (callers fall back to the f32 decoder).
+    """
+    lib = _load()
+    assert lib is not None
+    num = len(paths)
+    out = np.zeros((num, channels, n_max), dtype=np.int16)
+    lengths = np.zeros(num, dtype=np.int64)
+    c_paths = (ctypes.c_char_p * num)(*[str(p).encode() for p in paths])
+    rc = lib.aa_read_bundle_planar_i16(
+        c_paths,
+        ctypes.c_int32(num),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(n_max),
+        ctypes.c_int32(channels),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(num_threads),
+    )
+    if rc == -3:  # kErrUnsupported: not PCM16 — caller uses the f32 path
+        return None
+    if rc != 0:
+        raise IOError(f"native planar-i16 bundle decode failed ({rc})")
     return out, lengths

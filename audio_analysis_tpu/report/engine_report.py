@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from audio_analysis_tpu.engine import EngineConfig, analyze_bundle
-from audio_analysis_tpu.io.bundle import load_bundle_batch
+from audio_analysis_tpu.io.bundle import load_bundle_batch, load_bundle_batch_i16
 
 
 @dataclass(frozen=True)
@@ -203,7 +203,15 @@ def run_bundle_report_engine(
         )
     start_total = time.perf_counter()
 
-    meta, batch, lengths, names = load_bundle_batch(bundle_root)
+    # PCM16 fast path: planar int16 straight from the native decoder, float
+    # conversion on device — half the host decode work and half the bytes
+    # over the host->device link. Mono downmix needs host float math, so it
+    # uses the f32 loader.
+    fast = None if settings.use_mono_downmix_for_stereo else load_bundle_batch_i16(bundle_root)
+    if fast is not None:
+        meta, batch, lengths, names = fast
+    else:
+        meta, batch, lengths, names = load_bundle_batch(bundle_root)
     load_seconds = time.perf_counter() - start_total
 
     if settings.use_mono_downmix_for_stereo:

@@ -241,4 +241,63 @@ int aa_read_bundle_f32(const char** paths, int32_t num_files, float* out,
     return err.load();
 }
 
+// PCM16 fast path: decode a bundle into a zero-padded PLANAR int16 buffer
+// (num_files, out_channels, n_max) — a straight deinterleave, no float
+// conversion. The device converts to float32 (/32768) on-chip, so both the
+// host decode and the host->device transfer move half the bytes of the f32
+// path. Returns kErrUnsupported for any non-PCM16 tap (caller falls back).
+int aa_read_bundle_planar_i16(const char** paths, int32_t num_files,
+                              int16_t* out, int64_t n_max,
+                              int32_t out_channels, int64_t* lengths,
+                              int32_t num_threads) {
+    std::atomic<int> next{0};
+    std::atomic<int> err{0};
+
+    auto worker = [&]() {
+        std::vector<char> raw;
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= num_files || err.load() != 0) return;
+
+            WavInfo info;
+            int rc = probe_wav(paths[i], info);
+            if (rc != 0) { err.store(rc); return; }
+            if (info.format != 1 || info.bits_per_sample != 16) {
+                err.store(kErrUnsupported);
+                return;
+            }
+
+            std::ifstream f(paths[i], std::ios::binary);
+            if (!f) { err.store(kErrOpen); return; }
+            f.seekg(info.data_offset);
+            const int in_ch = info.channels;
+            const int64_t frames = std::min<int64_t>(info.frames, n_max);
+            const int64_t raw_bytes = info.frames * in_ch * 2;
+            raw.resize(static_cast<size_t>(raw_bytes));
+            if (!read_exact(f, raw.data(), static_cast<size_t>(raw_bytes))) {
+                err.store(kErrFormat);
+                return;
+            }
+            const int16_t* src = reinterpret_cast<const int16_t*>(raw.data());
+
+            int16_t* base = out + static_cast<int64_t>(i) * out_channels * n_max;
+            for (int c = 0; c < out_channels; ++c) {
+                const int src_c = in_ch == 1 ? 0 : (c < in_ch ? c : in_ch - 1);
+                int16_t* dst = base + static_cast<int64_t>(c) * n_max;
+                for (int64_t fidx = 0; fidx < frames; ++fidx) {
+                    dst[fidx] = src[fidx * in_ch + src_c];
+                }
+            }
+            lengths[i] = frames;
+        }
+    };
+
+    const int threads = std::max(1, std::min<int>(num_threads, num_files));
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    return err.load();
+}
+
 }  // extern "C"

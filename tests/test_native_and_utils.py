@@ -89,6 +89,31 @@ class TestNativeLoader:
         got_frames, got_channels, got_rate = native.read_wav_info(p)
         assert (got_frames, got_channels, got_rate) == (frames, channels, 48000)
 
+    def test_planar_i16_bundle_loader_matches_f32(self, tmp_path):
+        # The PCM16 fast path must be a bit-exact /32768 away from the f32
+        # loader (same padded layout, mono duplicated, lengths equal).
+        from audio_analysis_tpu.io.bundle import (
+            load_bundle_batch,
+            load_bundle_batch_i16,
+            write_bundle,
+        )
+
+        rng = np.random.default_rng(5)
+        taps = {
+            "stereo_tap": rng.standard_normal((5000, 2)).astype(np.float32) * 0.5,
+            "mono_tap": rng.standard_normal(3000).astype(np.float32) * 0.5,
+        }
+        write_bundle(tmp_path, taps, SR)
+
+        fast = load_bundle_batch_i16(tmp_path)
+        assert fast is not None
+        _, b16, l16, names16 = fast
+        _, bf, lf, namesf = load_bundle_batch(tmp_path)
+        assert names16 == namesf
+        np.testing.assert_array_equal(l16, lf)
+        assert b16.dtype == np.int16 and b16.shape == bf.shape
+        np.testing.assert_allclose(b16.astype(np.float32) / 32768.0, bf, atol=0)
+
     def test_pure_python_header_probe(self, tmp_path):
         from scipy.io import wavfile
 
