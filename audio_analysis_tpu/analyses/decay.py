@@ -23,6 +23,7 @@ from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suf
 from audio_analysis_tpu.ops import dbfit, edc
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
+    decimate_minmax,
     finalize_and_show_or_save,
     label_decibel_axis,
     label_time_axis_seconds,
@@ -212,7 +213,10 @@ def plot_decay_figure(
 
     for idx, result in enumerate(channel_analyses):
         alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        axis.plot(result.time_seconds, result.edc_db, alpha=alpha, label=None)
+        # min-max envelope decimation: the EDC spans ~10^6 samples, far
+        # below pixel resolution; rendering cost must scale with pixels
+        t_plot, edc_plot = decimate_minmax(result.time_seconds, result.edc_db)
+        axis.plot(t_plot, edc_plot, alpha=alpha, label=None)
 
         if plot_settings.show_fit_lines:
             for fit_name in ("EDT", "T20", "T30"):

@@ -17,9 +17,9 @@ import matplotlib.pyplot as plt
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import spectral, trim
-from audio_analysis_tpu.plot import finalize_and_show_or_save
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import spectral
+from audio_analysis_tpu.plot import decimate_minmax_log, finalize_and_show_or_save
 
 
 @dataclass(frozen=True)
@@ -56,26 +56,23 @@ class ChannelFilterResponse:
     magnitude_at_1khz_db: float
 
 
-def analyse_filter_response_for_channel(
-    samples: np.ndarray,
-    sample_rate_hz: int,
-    channel_name: str,
+def analyse_filter_response_channels(
+    dsp: FileDsp,
     settings: FilterAnalysisSettings,
-) -> ChannelFilterResponse:
-    if samples.ndim != 1:
-        raise ValueError("analyse_filter_response_for_channel expects a 1D mono array.")
-
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
+) -> List[ChannelFilterResponse]:
+    """All channels in one batched magnitude+phase spectrum dispatch."""
+    sample_rate_hz = dsp.sample_rate_hz
+    aligned = dsp.aligned(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
         settings.analysis_duration_seconds,
     )
-    seg_len = int(np.asarray(aligned.length)[0])
-    if seg_len < 32:
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    if int(seg_lens.min()) < 32:
         raise ValueError("Not enough samples after trimming/selection to analyse filter response.")
 
     spec = spectral.segment_spectrum(
@@ -89,35 +86,50 @@ def analyse_filter_response_for_channel(
         unwrap_phase=settings.unwrap_phase,
     )
 
-    phase = np.asarray(spec.phase)[0]
+    phase_all = np.asarray(spec.phase)
     if settings.phase_mode == "degrees":
-        phase = np.rad2deg(phase)
+        phase_all = np.rad2deg(phase_all)
+    mag_all = np.asarray(spec.mag_db)
+    peak_all = np.asarray(spec.peak_frequency_hz)
+    at1k_all = np.asarray(spec.magnitude_at_1khz_db)
 
-    n_pad = x.shape[-1]
-    freq_hz = np.fft.rfftfreq(n_pad, d=1.0 / sample_rate_hz).astype(np.float32)
+    freq_hz = np.fft.rfftfreq(dsp.bucket_samples, d=1.0 / sample_rate_hz).astype(np.float32)
 
-    return ChannelFilterResponse(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        analysis_start_sample_index=int(np.asarray(aligned.start_index)[0]),
-        analysis_length_samples=seg_len,
-        frequency_hz=freq_hz,
-        magnitude_db=np.asarray(spec.mag_db)[0].astype(np.float32),
-        phase_response=phase.astype(np.float32),
-        peak_frequency_hz=float(np.asarray(spec.peak_frequency_hz)[0]),
-        magnitude_at_1khz_db=float(np.asarray(spec.magnitude_at_1khz_db)[0]),
-    )
+    return [
+        ChannelFilterResponse(
+            channel_name=channel_name,
+            sample_rate_hz=int(sample_rate_hz),
+            analysis_start_sample_index=int(starts[i]),
+            analysis_length_samples=int(seg_lens[i]),
+            frequency_hz=freq_hz,
+            magnitude_db=mag_all[i].astype(np.float32),
+            phase_response=phase_all[i].astype(np.float32),
+            peak_frequency_hz=float(peak_all[i]),
+            magnitude_at_1khz_db=float(at1k_all[i]),
+        )
+        for i, channel_name in enumerate(dsp.channel_names)
+    ]
+
+
+def analyse_filter_response_for_channel(
+    samples: np.ndarray,
+    sample_rate_hz: int,
+    channel_name: str,
+    settings: FilterAnalysisSettings,
+) -> ChannelFilterResponse:
+    return analyse_filter_response_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_filter_response_from_wav_file(
     input_wav_file_path: str | Path,
     settings: FilterAnalysisSettings,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelFilterResponse]:
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_filter_response_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_filter_response_channels(dsp, settings)
 
 
 def plot_filter_response_figure(
@@ -169,17 +181,18 @@ def plot_filter_response_figure(
 
     for idx, r in enumerate(channel_results):
         alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        sel = _sel(r)
+        f_mag, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
         ax_mag.plot(
-            r.frequency_hz[sel],
-            r.magnitude_db[sel],
+            f_mag,
+            m_plot,
             alpha=alpha,
             label=(
                 f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "
                 f"@1kHz={r.magnitude_at_1khz_db:.1f}dB"
             ),
         )
-        ax_phase.plot(r.frequency_hz[sel], r.phase_response[sel], alpha=alpha, label=r.channel_name)
+        f_ph, p_plot = decimate_minmax_log(r.frequency_hz, r.phase_response, f_min, f_max)
+        ax_phase.plot(f_ph, p_plot, alpha=alpha, label=r.channel_name)
 
     ax_mag.legend(loc="best", fontsize=9)
     ax_phase.legend(loc="best", fontsize=9)

@@ -25,6 +25,7 @@ from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suf
 from audio_analysis_tpu.ops import logfreq, spectral
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
+    decimate_minmax_log,
     finalize_and_show_or_save,
     hz_tick_formatter,
     label_decibel_axis,
@@ -214,10 +215,11 @@ def plot_frequency_response_figure(
 
     for idx, r in enumerate(channel_results):
         alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        sel = (r.frequency_hz >= f_min) & (r.frequency_hz <= f_max)
+        # 500k-bin spectrum -> log-bucketed min-max envelope at display res
+        f_plot, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
         axis.plot(
-            r.frequency_hz[sel],
-            r.magnitude_db[sel],
+            f_plot,
+            m_plot,
             alpha=alpha,
             label=(
                 f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "

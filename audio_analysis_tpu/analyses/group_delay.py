@@ -19,7 +19,11 @@ import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
 from audio_analysis_tpu.ops import spectral, trim
-from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
+from audio_analysis_tpu.plot import (
+    create_figure_and_axis,
+    decimate_minmax_log,
+    finalize_and_show_or_save,
+)
 
 _MAX_FFT = 1 << 20
 
@@ -158,7 +162,13 @@ def render_group_delay_plots(
     """Figures + save only (host matplotlib); results come from analyse_*."""
     for result in results:
         fig, ax = create_figure_and_axis(title=f"Group delay ({result.channel_name})")
-        ax.plot(result.frequency_hz, result.group_delay_samples)
+        f_plot, g_plot = decimate_minmax_log(
+            result.frequency_hz,
+            result.group_delay_samples,
+            float(result.frequency_hz[0]) if result.frequency_hz.size else 1.0,
+            float(result.frequency_hz[-1]) if result.frequency_hz.size else 2.0,
+        )
+        ax.plot(f_plot, g_plot)
         ax.set_xscale("log")
         ax.set_xlabel("Frequency (Hz)")
         ax.set_ylabel("Group delay (samples)")

@@ -18,6 +18,7 @@ import numpy as np
 from audio_analysis_tpu.io import LoadedAudio, get_analysis_channels, load_wav_file
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
+    decimate_minmax,
     finalize_and_show_or_save,
     label_amplitude_axis,
     label_decibel_axis,
@@ -64,7 +65,9 @@ def plot_impulse_response_waveform(
         title=f"Waveform (full) - {loaded_audio.file_path.name}"
     )
     for name, samples, alpha in plot_channels:
-        axis.plot(time_axis, samples, label=name, alpha=alpha)
+        # million-sample waveform -> min-max envelope at display resolution
+        t_plot, y_plot = decimate_minmax(time_axis, samples)
+        axis.plot(t_plot, y_plot, label=name, alpha=alpha)
     axis.legend(loc="best")
     label_time_axis_seconds(axis)
     label_amplitude_axis(axis)
@@ -109,7 +112,8 @@ def plot_impulse_response_log_magnitude(
     for idx, (name, samples) in enumerate(channels):
         alpha = 1.0 if idx == 0 else 0.5
         magnitude = np.maximum(compute_log_magnitude(samples), 10.0 ** (floor_db / 20.0))
-        axis.plot(time_axis, 20.0 * np.log10(magnitude), alpha=alpha, label=name)
+        t_plot, y_plot = decimate_minmax(time_axis, 20.0 * np.log10(magnitude))
+        axis.plot(t_plot, y_plot, alpha=alpha, label=name)
     axis.set_ylim(bottom=floor_db)
     label_time_axis_seconds(axis)
     label_decibel_axis(axis)

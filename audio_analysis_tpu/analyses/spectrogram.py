@@ -25,6 +25,9 @@ from audio_analysis_tpu.plot import (
     apply_log_hz_yaxis,
     create_figure_and_axis,
     finalize_and_show_or_save,
+    hz_major_ticks,
+    hz_tick_formatter,
+    log_frequency_image,
 )
 
 
@@ -47,6 +50,11 @@ class SpectrogramAnalysisSettings:
 class SpectrogramPlotSettings:
     vmin_db: Optional[float] = None
     vmax_db: Optional[float] = None
+    # "image": O(pixels) log-frequency raster (default — a 2^20-sample tap
+    # has ~4M STFT cells, which a log-y pcolormesh rasterises in tens of
+    # seconds); "quadmesh": the reference's exact per-bin QuadMesh.
+    renderer: str = "image"
+    image_rows: int = 720
 
 
 @dataclass(frozen=True)
@@ -184,14 +192,37 @@ def plot_spectrogram_figure(
     vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
 
     t_edges = _midpoint_edges(result.time_seconds, 1e-3)
-    f_edges = np.maximum(_midpoint_edges(freq, 1.0), 1e-6)
 
-    mesh = axis.pcolormesh(t_edges, f_edges, mag, shading="auto", vmin=vmin, vmax=vmax)
+    if str(plot_settings.renderer).lower() == "quadmesh":
+        f_edges = np.maximum(_midpoint_edges(freq, 1.0), 1e-6)
+        mesh = axis.pcolormesh(t_edges, f_edges, mag, shading="auto", vmin=vmin, vmax=vmax)
+        axis.set_ylabel("Frequency (Hz)")
+        axis.set_yscale("log")
+        axis.set_ylim(f_min, f_max)
+        apply_log_hz_yaxis(axis)
+    else:
+        # image renderer: the (F, T) plane max-pooled onto uniform log10(f)
+        # rows, drawn as one raster; the axis is linear in log10(f) and
+        # labelled in Hz (same trick as the 3D waterfall's log-x surface)
+        image, _ = log_frequency_image(
+            mag, freq, f_min, f_max, rows=int(plot_settings.image_rows)
+        )
+        mesh = axis.imshow(
+            image,
+            origin="lower",
+            aspect="auto",
+            interpolation="nearest",
+            extent=(float(t_edges[0]), float(t_edges[-1]), np.log10(f_min), np.log10(f_max)),
+            vmin=vmin,
+            vmax=vmax,
+        )
+        axis.set_ylabel("Frequency (Hz)")
+        ticks = hz_major_ticks(f_min, f_max)
+        axis.set_yticks([np.log10(v) for v in ticks])
+        axis.set_yticklabels([hz_tick_formatter(v) for v in ticks])
+        axis.set_ylim(np.log10(f_min), np.log10(f_max))
+
     axis.set_xlabel("Time (s)")
-    axis.set_ylabel("Frequency (Hz)")
-    axis.set_yscale("log")
-    axis.set_ylim(f_min, f_max)
-    apply_log_hz_yaxis(axis)
     axis.grid(True, which="both", linestyle=":", linewidth=0.5)
     figure.colorbar(mesh, ax=axis, label="Magnitude (dB)")
     return figure

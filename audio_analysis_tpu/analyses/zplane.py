@@ -20,8 +20,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import load_channels, pad_to_bucket, suffixed_png
-from audio_analysis_tpu.ops import spectral, trim
+from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import spectral
 from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
 
 
@@ -65,71 +65,97 @@ def rt60_from_pole_radius(radius: float, sample_rate_hz: int) -> float:
     return float(np.log(1000.0) * tau_seconds)
 
 
+def analyse_zplane_channels(
+    dsp: FileDsp,
+    settings: ZPlaneAnalysisSettings,
+) -> List[ChannelZPlaneResult]:
+    """
+    All channels' Gram accumulations in one batched device dispatch (the
+    heavy part); the tiny (p, p) solves and companion-root finding stay on
+    host per channel (complex eig is not a TPU op — SURVEY hard parts).
+    """
+    import jax.numpy as jnp
+
+    sample_rate_hz = dsp.sample_rate_hz
+    aligned = dsp.aligned(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    _, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    host = np.asarray(aligned.samples)  # (C, N_pad), one fetch for all channels
+
+    order = int(settings.ar_order)
+    min_seg = int(seg_lens.min())
+    if min_seg <= order:
+        order = max(1, min_seg - 1)
+
+    n_pad = dsp.bucket_samples
+    segs64 = []
+    seg_batch = np.zeros((dsp.num_channels, n_pad), np.float32)
+    for i in range(dsp.num_channels):
+        seg = host[i][: int(seg_lens[i])].astype(np.float64)
+        if settings.normalise_segment and seg.size:
+            peak = float(np.max(np.abs(seg)))
+            if peak > 0.0:
+                seg = seg / peak
+        segs64.append(seg)
+        seg_batch[i, : seg.size] = seg.astype(np.float32)
+
+    normal = spectral.ar_normal_equations(
+        jnp.asarray(seg_batch),
+        jnp.asarray(seg_lens.astype(np.int32)),
+        order,
+    )
+    grams = np.asarray(normal.gram)
+    moments = np.asarray(normal.moment)
+
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        a = spectral.solve_ar_coefficients(grams[i], moments[i], float(settings.ridge_lambda))
+        poles = spectral.ar_poles(a)
+
+        zeros: Optional[np.ndarray] = None
+        if settings.derive_zeros:
+            b = spectral.derive_fir_numerator_from_ar(a, segs64[i], int(settings.zero_order))
+            zeros = spectral.ar_poles(b)  # same companion-root helper
+
+        results.append(
+            ChannelZPlaneResult(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                poles=poles,
+                zeros=zeros,
+            )
+        )
+    return results
+
+
 def analyse_zplane_for_channel(
     samples: np.ndarray,
     sample_rate_hz: int,
     channel_name: str,
     settings: ZPlaneAnalysisSettings,
 ) -> ChannelZPlaneResult:
-    x, length = pad_to_bucket(samples)
-    aligned = trim.align_for_analysis(
-        x,
-        length,
-        sample_rate_hz,
-        settings.trim_to_peak,
-        settings.ignore_leading_seconds,
-        settings.analysis_duration_seconds,
-    )
-    seg_len = int(np.asarray(aligned.length)[0])
-    seg = np.asarray(aligned.samples)[0][:seg_len].astype(np.float64)
-
-    if settings.normalise_segment and seg.size:
-        peak = float(np.max(np.abs(seg)))
-        if peak > 0.0:
-            seg = seg / peak
-
-    order = int(settings.ar_order)
-    if seg.size <= order:
-        order = max(1, seg.size - 1)
-
-    import jax.numpy as jnp
-
-    seg_padded = np.zeros(x.shape[-1], dtype=np.float32)
-    seg_padded[: seg.size] = seg.astype(np.float32)
-    normal = spectral.ar_normal_equations(
-        jnp.asarray(seg_padded[None, :]),
-        jnp.asarray(np.array([seg.size], np.int32)),
-        order,
-    )
-    a = spectral.solve_ar_coefficients(
-        np.asarray(normal.gram)[0], np.asarray(normal.moment)[0], float(settings.ridge_lambda)
-    )
-    poles = spectral.ar_poles(a)
-
-    zeros: Optional[np.ndarray] = None
-    if settings.derive_zeros:
-        b = spectral.derive_fir_numerator_from_ar(a, seg, int(settings.zero_order))
-        zeros = spectral.ar_poles(b)  # same companion-root helper
-
-    return ChannelZPlaneResult(
-        channel_name=channel_name,
-        sample_rate_hz=int(sample_rate_hz),
-        poles=poles,
-        zeros=zeros,
-    )
+    return analyse_zplane_channels(
+        single_channel_dsp(samples, sample_rate_hz, channel_name), settings
+    )[0]
 
 
 def analyse_zplane_from_wav_file(
     input_wav_file_path: str | Path,
     settings: Optional[ZPlaneAnalysisSettings] = None,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelZPlaneResult]:
     if settings is None:
         settings = ZPlaneAnalysisSettings()
-    channels, sr = load_channels(input_wav_file_path, settings.use_mono_downmix_for_stereo)
-    return [
-        analyse_zplane_for_channel(ch_samples, sr, ch_name, settings)
-        for ch_name, ch_samples in channels
-    ]
+    if dsp is None:
+        dsp = FileDsp.from_wav_file(input_wav_file_path, settings.use_mono_downmix_for_stereo)
+    return analyse_zplane_channels(dsp, settings)
 
 
 def plot_zplane_from_wav_file(
@@ -138,13 +164,14 @@ def plot_zplane_from_wav_file(
     plot_settings: Optional[ZPlanePlotSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
+    dsp: Optional[FileDsp] = None,
 ) -> List[ChannelZPlaneResult]:
     if settings is None:
         settings = ZPlaneAnalysisSettings()
     if plot_settings is None:
         plot_settings = ZPlanePlotSettings()
 
-    results = analyse_zplane_from_wav_file(input_wav_file_path, settings)
+    results = analyse_zplane_from_wav_file(input_wav_file_path, settings, dsp=dsp)
 
     for result in results:
         fig, ax = create_figure_and_axis(

@@ -128,3 +128,103 @@ def apply_log_hz_yaxis(axis: plt.Axes) -> None:
 
 def time_axis_from_sample_count(number_of_samples: int, sample_rate_hz: int) -> np.ndarray:
     return np.arange(number_of_samples, dtype=np.float32) / float(sample_rate_hz)
+
+
+# ----------------------------------------------------------------------------
+# display decimation — rendering cost must scale with PIXELS, not samples.
+#
+# Reports plot million-sample curves (EDC, IR, 500k-bin spectra); Agg pays
+# per vertex, so a 10x6in @100dpi figure was spending tens of seconds
+# rasterising detail far below one pixel. Min-max envelope decimation is the
+# standard visually-lossless waveform downsampling: per display bucket keep
+# (min, max), so every pixel column still spans the exact same y-range the
+# full-resolution line would have covered.
+# ----------------------------------------------------------------------------
+
+
+def decimate_minmax(
+    x: np.ndarray, y: np.ndarray, max_points: int = 4096
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Linear-x min-max envelope decimation to <= ~max_points vertices."""
+    n = int(y.size)
+    buckets = max(8, max_points // 2)
+    if n <= 2 * buckets:
+        return x, y
+    k = n // buckets
+    nb = n // k
+    yb = y[: nb * k].reshape(nb, k)
+    lo = yb.min(axis=1)
+    hi = yb.max(axis=1)
+    xb = x[: nb * k].reshape(nb, k)
+    xm = xb[:, k // 2]
+    out_x = np.repeat(xm, 2)
+    out_y = np.empty(2 * nb, dtype=y.dtype)
+    out_y[0::2] = lo
+    out_y[1::2] = hi
+    if nb * k < n:  # keep the exact tail endpoint
+        out_x = np.append(out_x, x[-1])
+        out_y = np.append(out_y, y[-1])
+    return out_x, out_y
+
+
+def decimate_minmax_log(
+    f: np.ndarray,
+    y: np.ndarray,
+    f_min: float,
+    f_max: float,
+    max_points: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Min-max decimation with log-spaced buckets, for log-x spectra: bucket
+    density matches the log display so low frequencies keep full detail.
+    Points below f_min/above f_max are dropped (they are off-axis anyway).
+    """
+    sel = (f >= max(1e-9, f_min)) & (f <= f_max)
+    f_sel, y_sel = f[sel], y[sel]
+    n = int(y_sel.size)
+    buckets = max(8, max_points // 2)
+    if n <= 2 * buckets:
+        return f_sel, y_sel
+    edges = np.logspace(np.log10(max(1e-9, f_min)), np.log10(f_max), buckets + 1)
+    idx = np.searchsorted(f_sel, edges)
+    out_x: List[float] = []
+    out_y: List[float] = []
+    for b in range(buckets):
+        lo_i, hi_i = idx[b], idx[b + 1]
+        if hi_i <= lo_i:
+            continue
+        seg = y_sel[lo_i:hi_i]
+        out_x.extend((float(f_sel[lo_i]), float(f_sel[hi_i - 1])))
+        out_y.extend((float(seg.min()), float(seg.max())))
+    return np.asarray(out_x, f.dtype), np.asarray(out_y, y.dtype)
+
+
+def log_frequency_image(
+    mag_fb_t: np.ndarray,
+    freq_hz: np.ndarray,
+    f_min: float,
+    f_max: float,
+    rows: int = 720,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Resample an (F, T) magnitude plane onto `rows` uniform log10(f) rows by
+    max-pooling each row's source-bin range (peaks survive). Returns
+    (image (rows, T), row_edges_log10 (rows+1,)). Rendering the result with
+    imshow on a log10(f) axis costs O(pixels) where a log-y pcolormesh pays
+    per source quad (~4M for a 2^20-sample tap — tens of seconds on Agg).
+    """
+    log_lo, log_hi = np.log10(f_min), np.log10(f_max)
+    edges = np.logspace(log_lo, log_hi, rows + 1)
+    idx = np.searchsorted(freq_hz, edges).clip(0, mag_fb_t.shape[0])
+    image = np.empty((rows, mag_fb_t.shape[1]), dtype=np.float32)
+    prev_row = None
+    for r in range(rows):
+        lo_i, hi_i = idx[r], idx[r + 1]
+        if hi_i <= lo_i:
+            # sub-bin row: nearest source bin
+            src = min(mag_fb_t.shape[0] - 1, max(0, int(lo_i)))
+            image[r] = mag_fb_t[src] if prev_row is None or lo_i > 0 else prev_row
+        else:
+            image[r] = mag_fb_t[lo_i:hi_i].max(axis=0)
+        prev_row = image[r]
+    return image, np.log10(edges)
