@@ -19,42 +19,80 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Tuple
 
 
 class PlotWorker:
     """Single-thread executor for figure rendering jobs (FIFO order)."""
 
     def __init__(self) -> None:
-        self._queue: "queue.Queue[Optional[Callable[[], None]]]" = queue.Queue()
-        self._errors: List[BaseException] = []
+        self._queue: "queue.Queue[Optional[Tuple[Callable[[], None], Optional[str]]]]" = (
+            queue.Queue()
+        )
+        self._errors: List[Tuple[Optional[str], BaseException]] = []
         self._thread = threading.Thread(target=self._run, name="plot-worker", daemon=True)
         self._thread.start()
 
     def _run(self) -> None:
         while True:
-            job = self._queue.get()
-            if job is None:
+            item = self._queue.get()
+            if item is None:
                 return
+            job, label = item
             try:
                 job()
-            except BaseException as exc:  # noqa: BLE001 — re-raised in drain()
-                self._errors.append(exc)
+            except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
+                self._errors.append((label, exc))
 
-    def submit(self, job: Callable[[], None]) -> None:
-        self._queue.put(job)
+    def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
+        self._queue.put((job, label))
+
+    def _wait_idle(self) -> None:
+        done = threading.Event()
+        self._queue.put((done.set, None))
+        done.wait()
 
     def drain(self) -> None:
         """Block until every submitted job ran; re-raise the first failure."""
-        done = threading.Event()
-        self._queue.put(done.set)
-        done.wait()
+        self._wait_idle()
         if self._errors:
-            raise self._errors[0]
+            raise self._errors[0][1]
+
+    def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
+        """Block until idle; return (and clear) labeled failures instead of
+        raising — bundle runners keep per-tap failure isolation this way."""
+        self._wait_idle()
+        errors, self._errors = self._errors, []
+        return errors
 
     def close(self) -> None:
         self._queue.put(None)
         self._thread.join(timeout=60)
+
+
+class BorrowedPlotWorker:
+    """
+    Context-manager view over a caller-owned worker: submits pass through,
+    but drain/exit are no-ops — the owner drains once across many reports
+    (the bundle runner overlaps tap k's rendering with tap k+1's device
+    compute this way).
+    """
+
+    def __init__(self, worker: "MaybePlotWorker", default_label: Optional[str] = None) -> None:
+        self._worker = worker
+        self._default_label = default_label
+
+    def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
+        self._worker.submit(job, label or self._default_label)
+
+    def drain(self) -> None:  # owner drains
+        pass
+
+    def __enter__(self) -> "BorrowedPlotWorker":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        pass
 
 
 class MaybePlotWorker:
@@ -65,16 +103,22 @@ class MaybePlotWorker:
 
     def __init__(self, enabled: bool) -> None:
         self._worker = PlotWorker() if enabled else None
+        self._sync_errors: List[Tuple[Optional[str], BaseException]] = []
 
-    def submit(self, job: Callable[[], None]) -> None:
+    def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         if self._worker is None:
             job()
         else:
-            self._worker.submit(job)
+            self._worker.submit(job, label)
 
     def drain(self) -> None:
         if self._worker is not None:
             self._worker.drain()
+
+    def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
+        if self._worker is not None:
+            return self._worker.drain_collect()
+        return []
 
     def close(self) -> None:
         if self._worker is not None:

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
 
+from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
 from audio_analysis_tpu.report.report import ReportSettings, run_report_from_wav_file
 
 
@@ -60,6 +61,12 @@ def run_bundle_report(
 
     failures: List[str] = []
 
+    # One shared plot worker for the whole bundle: tap k's figures render
+    # while tap k+1's analyses dispatch to the device. Drained (with
+    # per-job failure collection) after the loop.
+    report_settings = settings.report_settings or ReportSettings()
+    plot_worker = MaybePlotWorker(report_settings.overlap_plotting)
+
     for tap in tap_names:
         wav_path = taps_dir / f"{tap}.wav"
         out_dir = reports_root / tap
@@ -75,6 +82,7 @@ def run_bundle_report(
                 input_wav_file_path=wav_path,
                 output_basename=out_dir / tap,
                 settings=settings.report_settings,
+                plot_worker=plot_worker,
             )
             index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
         except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
@@ -84,10 +92,20 @@ def run_bundle_report(
             index_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
             (out_dir / "error.txt").write_text(traceback.format_exc())
 
-    if failures:
+    plot_failures = plot_worker.drain_collect()
+    plot_worker.close()
+    if plot_failures and not settings.continue_on_error:
+        raise plot_failures[0][1]
+
+    if failures or plot_failures:
         index_lines.append("\n## Failures\n")
         for tap in failures:
             index_lines.append(f"- {tap} (see {settings.reports_subdir}/{tap}/error.txt)")
+        for label, exc in plot_failures:
+            index_lines.append(
+                f"- plot rendering{f' ({label})' if label else ''}: "
+                f"{type(exc).__name__}: {exc}"
+            )
 
     index_path = reports_root / "bundle_report.md"
     index_path.write_text("\n".join(index_lines) + "\n")

@@ -79,7 +79,7 @@ from audio_analysis_tpu.analyses.waterfall import (
 )
 from audio_analysis_tpu.analyses._common import FileDsp
 from audio_analysis_tpu.io import DEFAULT_EXPECTED_SAMPLE_RATE_HZ, load_wav_file
-from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
+from audio_analysis_tpu.parallel.overlap import BorrowedPlotWorker, MaybePlotWorker
 from audio_analysis_tpu.utils.timing import BlockTimer
 
 
@@ -199,7 +199,16 @@ def run_report_from_wav_file(
     input_wav_file_path: str | Path,
     output_basename: str | Path,
     settings: Optional[ReportSettings] = None,
+    plot_worker: Optional[MaybePlotWorker] = None,
 ) -> ReportResults:
+    """
+    One WAV -> full analysis suite -> PNGs + <basename>_report.md.
+
+    `plot_worker`: pass a caller-owned MaybePlotWorker to defer figure
+    rendering across reports (the bundle runner overlaps tap k's plots
+    with tap k+1's device compute); the caller must drain it. Without it
+    the report owns a worker and drains before returning.
+    """
     if settings is None:
         settings = ReportSettings()
 
@@ -225,7 +234,12 @@ def run_report_from_wav_file(
     # rasterisation of block k (SURVEY §7 "overlap host plotting with device
     # compute"). Summaries are still assembled in order from the analyse
     # results, so the markdown is byte-identical to the sequential path.
-    with MaybePlotWorker(settings.overlap_plotting) as plots:
+    plots_cm = (
+        BorrowedPlotWorker(plot_worker, default_label=str(output_basename))
+        if plot_worker is not None
+        else MaybePlotWorker(settings.overlap_plotting)
+    )
+    with plots_cm as plots:
         if settings.run_impulse_response_plots:
             with timer.block("impulse_response"):
                 ir_settings = _apply_common_overrides(
