@@ -85,6 +85,10 @@ class EngineConfig:
     # length qualifies (N % 16384 == 0) and we're compiling for TPU
     use_pallas_edc: bool = True
 
+    # 0.5*(L+R) downmix ON DEVICE before analysis (io.py:89-92 policy) —
+    # lets the mono path keep the raw int16 host->device transfer
+    downmix_to_mono: bool = False
+
     # toggles (heavier blocks can be dropped for pure decay workloads)
     run_bands: bool = True
     run_fr: bool = True
@@ -162,6 +166,8 @@ def analyze_batch(
         # PCM16 arrives raw and converts ON DEVICE (io.py:58-64 scaling):
         # the host->device transfer ships half the bytes of float32.
         samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
+    if config.downmix_to_mono and samples.shape[1] > 1:
+        samples = jnp.mean(samples, axis=1, keepdims=True)
     b, c, n = samples.shape
     lengths_bc = jnp.broadcast_to(lengths[:, None], (b, c))
 

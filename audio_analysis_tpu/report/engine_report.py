@@ -204,27 +204,29 @@ def run_bundle_report_engine(
     start_total = time.perf_counter()
 
     # PCM16 fast path: planar int16 straight from the native decoder, float
-    # conversion on device — half the host decode work and half the bytes
-    # over the host->device link. Mono downmix needs host float math, so it
-    # uses the f32 loader.
-    fast = None if settings.use_mono_downmix_for_stereo else load_bundle_batch_i16(bundle_root)
+    # conversion — and the 0.5*(L+R) mono downmix when requested — happen
+    # on device, so host decode and the host->device link both move half
+    # the bytes of the f32 path.
+    fast = load_bundle_batch_i16(bundle_root)
     if fast is not None:
         meta, batch, lengths, names = fast
+        downmix_on_device = settings.use_mono_downmix_for_stereo
     else:
         meta, batch, lengths, names = load_bundle_batch(bundle_root)
+        downmix_on_device = False
+        if settings.use_mono_downmix_for_stereo:
+            batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
     load_seconds = time.perf_counter() - start_total
 
-    if settings.use_mono_downmix_for_stereo:
-        batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
-        channel_names = ["mono"]
-    else:
-        channel_names = ["left", "right"]
+    channel_names = ["mono"] if settings.use_mono_downmix_for_stereo else ["left", "right"]
+
+    from dataclasses import replace
 
     config = settings.config
     if config.sample_rate_hz != meta.sample_rate_hz:
-        from dataclasses import replace
-
         config = replace(config, sample_rate_hz=meta.sample_rate_hz)
+    if downmix_on_device and not config.downmix_to_mono:
+        config = replace(config, downmix_to_mono=True)
 
     start_compute = time.perf_counter()
     out = analyze_bundle(batch, lengths, config, settings.chunk_taps)
