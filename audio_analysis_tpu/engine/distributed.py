@@ -184,4 +184,73 @@ def analyze_bundle_multi_host(
     result: Dict[str, object] = {k: _local_rows(v) for k, v in out.items()}
     result.update({k: np.asarray(v) for k, v in agg.items()})
     result["local_tap_names"] = local_names
+    result["_config"] = dataclasses.replace(config)  # as actually run
+    result["_sample_rate_hz"] = meta.sample_rate_hz
     return result
+
+
+def run_bundle_report_multi_host(
+    bundle_root: str | Path,
+    config=None,
+    reports_subdir: str = "reports",
+) -> Optional[Path]:
+    """
+    Multi-host engine bundle reports over a shared filesystem: every
+    process analyses and writes `<reports>/<tap>/<tap>_report.md` for the
+    taps its devices own; after a cross-host barrier, process 0 writes the
+    bundle index with the all-reduced aggregates and returns its path
+    (other processes return None).
+    """
+    import jax
+
+    from audio_analysis_tpu.report.engine_report import format_tap_summary
+
+    bundle_root = Path(bundle_root)
+    out = analyze_bundle_multi_host(bundle_root, config)
+    sr = int(out["_sample_rate_hz"])  # type: ignore[arg-type]
+    run_config = out["_config"]
+    names = out["local_tap_names"]
+    channel_names = ["left", "right"]
+
+    reports_root = bundle_root / reports_subdir
+    reports_root.mkdir(parents=True, exist_ok=True)
+    for b, tap in enumerate(names):
+        out_dir = reports_root / tap
+        out_dir.mkdir(parents=True, exist_ok=True)
+        body = format_tap_summary(out, b, channel_names, sr, run_config)
+        header = (
+            "# Offline Reverb Analysis Report (engine, multi-host)\n\n"
+            f"**Tap:** `{tap}`  \n"
+            f"**Analysed by process:** {jax.process_index()}  \n"
+            f"**Sample rate:** {sr} Hz\n\n---\n\n"
+        )
+        (out_dir / f"{tap}_report.md").write_text(header + body)
+
+    # Barrier: the index must not list reports other hosts haven't flushed.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("bundle_reports_written")
+
+    if jax.process_index() != 0:
+        return None
+
+    from audio_analysis_tpu.io.bundle import read_bundle_meta
+
+    meta = read_bundle_meta(bundle_root)
+    lines = [
+        "# IR Bundle Report (engine, multi-host)\n",
+        f"**Bundle:** `{bundle_root}`\n",
+        f"**Sample rate:** {meta.sample_rate_hz}\n",
+        f"**Taps:** {len(meta.taps)} over {jax.process_count()} process(es) / "
+        f"{len(jax.devices())} device(s)\n",
+        f"**bundle_median_t30:** {float(out['bundle_median_t30']):.4f} s  \n"
+        f"**bundle_mean_early10:** {float(out['bundle_mean_early10']):.4f} s  \n"
+        f"**bundle_valid_taps:** {int(out['bundle_valid_taps'])}\n",
+        "\n## Taps\n",
+    ]
+    for tap in meta.taps:
+        lines.append(f"- [{tap}]({reports_subdir}/{tap}/{tap}_report.md)")
+    index_path = reports_root / "bundle_report.md"
+    index_path.write_text("\n".join(lines) + "\n")
+    return index_path

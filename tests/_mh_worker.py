@@ -27,9 +27,19 @@ def main() -> None:
     )
 
     from audio_analysis_tpu.engine.batch import EngineConfig
-    from audio_analysis_tpu.engine.distributed import analyze_bundle_multi_host
+    from audio_analysis_tpu.engine.distributed import (
+        analyze_bundle_multi_host,
+        run_bundle_report_multi_host,
+    )
 
     out = analyze_bundle_multi_host(bundle_root, EngineConfig(run_modal=False))
+
+    # also exercise the multi-host report writer (shared filesystem)
+    index = run_bundle_report_multi_host(bundle_root, EngineConfig(run_modal=False))
+    if int(proc_id) == 0:
+        assert index is not None and index.exists()
+    else:
+        assert index is None
 
     payload = {
         "process_id": int(proc_id),

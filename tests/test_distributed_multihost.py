@@ -106,3 +106,13 @@ def test_two_process_bundle_analysis(tmp_path):
     assert results[0]["bundle_valid_taps"] == results[1]["bundle_valid_taps"] == len(TAP_RT60S)
     expected_median = float(np.median(t30_all_channels))
     assert results[0]["bundle_median_t30"] == pytest.approx(expected_median, rel=1e-3)
+
+    # the multi-host report writer ran inside the workers: every tap has a
+    # per-tap report (written by the owning host) and process 0 wrote the
+    # index with the all-reduced aggregates
+    index_md = (bundle / "reports" / "bundle_report.md").read_text()
+    assert "multi-host" in index_md
+    assert f"bundle_median_t30:** {expected_median:.4f}" in index_md
+    for name in all_names:
+        tap_md = (bundle / "reports" / name / f"{name}_report.md").read_text()
+        assert "## Decay / EDC" in tap_md and "## Impulse response" in tap_md
