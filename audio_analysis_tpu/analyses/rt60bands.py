@@ -14,6 +14,7 @@ running a full-length FFT per band, rt60bands.py:362-406).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -315,13 +316,6 @@ def plot_rt60_bands_from_wav_file(
         settings = Rt60BandsAnalysisSettings()
     if plot_settings is None:
         plot_settings = Rt60BandsPlotSettings()
-    # numeric legends are only readable for the 3-band mode
-    if plot_settings.legend_values and str(settings.band_mode).lower() in ("octave", "third"):
-        plot_settings = Rt60BandsPlotSettings(
-            ylim_seconds=plot_settings.ylim_seconds,
-            secondary_channel_alpha=plot_settings.secondary_channel_alpha,
-            legend_values=False,
-        )
 
     results = analyse_rt60_bands_from_wav_file(input_wav_file_path, settings, dsp=dsp)
     render_rt60_bands_plots(
@@ -341,11 +335,7 @@ def render_rt60_bands_plots(
     """Figure + save only (host matplotlib); results come from analyse_*."""
     # numeric legends are only readable for the 3-band mode
     if plot_settings.legend_values and str(settings.band_mode).lower() in ("octave", "third"):
-        plot_settings = Rt60BandsPlotSettings(
-            ylim_seconds=plot_settings.ylim_seconds,
-            secondary_channel_alpha=plot_settings.secondary_channel_alpha,
-            legend_values=False,
-        )
+        plot_settings = dataclasses.replace(plot_settings, legend_values=False)
     figure = plot_rt60_bands_figure(
         results, settings, plot_settings, title=f"RT60 bands — {title_source}"
     )

@@ -265,6 +265,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--f_max_hz", type=float, default=20000.0)
     p.add_argument("--dynamic_range_db", type=float, default=90.0,
                    help="Color scale range below max (default: 90). 0 -> percentiles.")
+    p.add_argument("--renderer", type=str, choices=["image", "quadmesh"], default="image",
+                   help="'image' (fast log-f raster, default) or 'quadmesh' "
+                        "(the reference's exact per-bin mesh).")
 
     # --- diffusion ---
     p = sub.add_parser("diffusion",
@@ -532,7 +535,7 @@ def main(argv=None) -> None:
                 f_max_hz=float(args.f_max_hz),
                 dynamic_range_db=None if dyn <= 0.0 else dyn,
             ),
-            plot_settings=SpectrogramPlotSettings(),
+            plot_settings=SpectrogramPlotSettings(renderer=str(args.renderer)),
             output_basename=out_base(),
             show_interactive=show(),
         )

@@ -203,14 +203,17 @@ def run_bundle_report_multi_host(
     """
     import jax
 
-    from audio_analysis_tpu.report.engine_report import format_tap_summary
+    from audio_analysis_tpu.report.engine_report import (
+        _channel_names_from_output,
+        format_tap_summary,
+    )
 
     bundle_root = Path(bundle_root)
     out = analyze_bundle_multi_host(bundle_root, config)
     sr = int(out["_sample_rate_hz"])  # type: ignore[arg-type]
     run_config = out["_config"]
     names = out["local_tap_names"]
-    channel_names = ["left", "right"]
+    channel_names = _channel_names_from_output(out)
 
     reports_root = bundle_root / reports_subdir
     reports_root.mkdir(parents=True, exist_ok=True)

@@ -148,6 +148,8 @@ def read_wav_header_info(path: str | Path) -> Tuple[int, int, int]:
                 if chunk_size < 16 or chunk_size > 65536:
                     raise ValueError(f"Malformed fmt chunk in {path}")
                 fmt = f.read(chunk_size)
+                if chunk_size & 1:
+                    f.seek(1, 1)  # RIFF pad byte
                 _, channels, sample_rate = struct.unpack("<HHI", fmt[:8])
                 bits = struct.unpack("<H", fmt[14:16])[0]
             elif chunk_id == b"data":

@@ -23,11 +23,19 @@ from typing import Callable, List, Optional, Tuple
 
 
 class PlotWorker:
-    """Single-thread executor for figure rendering jobs (FIFO order)."""
+    """
+    Single-thread executor for figure rendering jobs (FIFO order).
 
-    def __init__(self) -> None:
+    The queue is bounded: submitted closures pin their figure inputs
+    (spectrogram planes, megapoint curves — tens of MB per tap), so on a
+    long bundle run an unbounded backlog would hold GBs of host RAM.
+    `submit` blocks once ~a few taps of figures are in flight, which
+    preserves the overlap with O(1) memory.
+    """
+
+    def __init__(self, max_pending_jobs: int = 32) -> None:
         self._queue: "queue.Queue[Optional[Tuple[Callable[[], None], Optional[str]]]]" = (
-            queue.Queue()
+            queue.Queue(maxsize=max(2, max_pending_jobs))
         )
         self._errors: List[Tuple[Optional[str], BaseException]] = []
         self._thread = threading.Thread(target=self._run, name="plot-worker", daemon=True)
@@ -98,7 +106,9 @@ class BorrowedPlotWorker:
 class MaybePlotWorker:
     """
     PlotWorker when overlap is enabled, synchronous execution otherwise —
-    one code path for callers.
+    one code path AND one failure contract for callers: render errors are
+    always deferred to drain()/drain_collect(), never raised from submit(),
+    so flipping the overlap knob cannot change user-visible semantics.
     """
 
     def __init__(self, enabled: bool) -> None:
@@ -107,18 +117,24 @@ class MaybePlotWorker:
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         if self._worker is None:
-            job()
+            try:
+                job()
+            except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
+                self._sync_errors.append((label, exc))
         else:
             self._worker.submit(job, label)
 
     def drain(self) -> None:
         if self._worker is not None:
             self._worker.drain()
+        elif self._sync_errors:
+            raise self._sync_errors[0][1]
 
     def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
         if self._worker is not None:
             return self._worker.drain_collect()
-        return []
+        errors, self._sync_errors = self._sync_errors, []
+        return errors
 
     def close(self) -> None:
         if self._worker is not None:

@@ -48,11 +48,12 @@ DEFAULT_GRID = HOUSE_STYLE.grid
 
 def create_figure_and_axis(
     title: Optional[str] = None,
-    figure_size: Tuple[float, float] = DEFAULT_FIGURE_SIZE,
+    figure_size: Optional[Tuple[float, float]] = None,
     style: FigureStyle = HOUSE_STYLE,
 ) -> Tuple[plt.Figure, plt.Axes]:
-    """One styled figure with a single axes; title and grid pre-applied."""
-    figure = plt.figure(figsize=figure_size, dpi=style.dpi)
+    """One styled figure with a single axes; title and grid pre-applied.
+    `figure_size` overrides the style's size when given."""
+    figure = plt.figure(figsize=figure_size or style.size, dpi=style.dpi)
     axis = figure.add_subplot(1, 1, 1, title=title)
     axis.grid(style.grid)
     return figure, axis

@@ -67,33 +67,39 @@ def run_bundle_report(
     report_settings = settings.report_settings or ReportSettings()
     plot_worker = MaybePlotWorker(report_settings.overlap_plotting)
 
-    for tap in tap_names:
-        wav_path = taps_dir / f"{tap}.wav"
-        out_dir = reports_root / tap
-        out_dir.mkdir(parents=True, exist_ok=True)
-        report_md = out_dir / f"{tap}_report.md"
+    try:
+        for tap in tap_names:
+            wav_path = taps_dir / f"{tap}.wav"
+            out_dir = reports_root / tap
+            out_dir.mkdir(parents=True, exist_ok=True)
+            report_md = out_dir / f"{tap}_report.md"
 
-        if settings.resume and report_md.exists():
-            index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name}) (cached)")
-            continue
+            if settings.resume and report_md.exists():
+                index_lines.append(
+                    f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name}) (cached)"
+                )
+                continue
 
-        try:
-            run_report_from_wav_file(
-                input_wav_file_path=wav_path,
-                output_basename=out_dir / tap,
-                settings=settings.report_settings,
-                plot_worker=plot_worker,
-            )
-            index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
-        except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
-            if not settings.continue_on_error:
-                raise
-            failures.append(tap)
-            index_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
-            (out_dir / "error.txt").write_text(traceback.format_exc())
+            try:
+                run_report_from_wav_file(
+                    input_wav_file_path=wav_path,
+                    output_basename=out_dir / tap,
+                    settings=settings.report_settings,
+                    plot_worker=plot_worker,
+                )
+                index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
+            except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
+                if not settings.continue_on_error:
+                    raise
+                failures.append(tap)
+                index_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
+                (out_dir / "error.txt").write_text(traceback.format_exc())
+    finally:
+        # drain even when a tap raised, so no figure jobs keep writing PNGs
+        # after this function has returned/raised
+        plot_failures = plot_worker.drain_collect()
+        plot_worker.close()
 
-    plot_failures = plot_worker.drain_collect()
-    plot_worker.close()
     if plot_failures and not settings.continue_on_error:
         raise plot_failures[0][1]
 

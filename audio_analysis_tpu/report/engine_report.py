@@ -35,6 +35,16 @@ class EngineBundleSettings:
 _BAND_NAMES = ("Low", "Mid", "High")
 
 
+def _channel_names_from_output(out: Dict[str, np.ndarray]) -> List[str]:
+    """Channel labels matching the engine output's channel axis."""
+    c = int(np.asarray(out["start_index"]).shape[1])
+    if c == 1:
+        return ["mono"]
+    if c == 2:
+        return ["left", "right"]
+    return [f"ch{i}" for i in range(c)]
+
+
 def _fit_line(out: Dict[str, np.ndarray], name: str, b: int, c: int) -> str:
     """One decay-fit summary line in the decay.py:530-538 format."""
     label = name.upper()
@@ -218,8 +228,6 @@ def run_bundle_report_engine(
             batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
     load_seconds = time.perf_counter() - start_total
 
-    channel_names = ["mono"] if settings.use_mono_downmix_for_stereo else ["left", "right"]
-
     from dataclasses import replace
 
     config = settings.config
@@ -231,6 +239,10 @@ def run_bundle_report_engine(
     start_compute = time.perf_counter()
     out = analyze_bundle(batch, lengths, config, settings.chunk_taps)
     compute_seconds = time.perf_counter() - start_compute
+
+    # channel names follow the engine's ACTUAL channel count, so a
+    # config-level downmix_to_mono can't desync the summary writer
+    channel_names = _channel_names_from_output(out)
 
     reports_root = bundle_root / settings.reports_subdir
     reports_root.mkdir(parents=True, exist_ok=True)

@@ -96,6 +96,19 @@ int probe_wav(const std::string& path, WavInfo& info) {
     const int64_t bytes_per_frame =
         static_cast<int64_t>(info.channels) * (info.bits_per_sample / 8);
     if (bytes_per_frame <= 0) return kErrFormat;
+
+    // data chunk_size is untrusted 32-bit input: clamp to the bytes the file
+    // actually holds, so corrupt headers can't drive multi-GB allocations in
+    // the decoders downstream.
+    f.clear();
+    f.seekg(0, std::ios::end);
+    const int64_t file_size = static_cast<int64_t>(f.tellg());
+    const int64_t available = file_size - info.data_offset;
+    if (available <= 0) return kErrFormat;
+    if (info.data_bytes > available) {
+        info.data_bytes = available;
+    }
+
     info.frames = info.data_bytes / bytes_per_frame;
     return 0;
 }
@@ -207,6 +220,7 @@ int aa_read_bundle_f32(const char** paths, int32_t num_files, float* out,
 
     auto worker = [&]() {
         std::vector<float> scratch;
+        try {
         for (;;) {
             int i = next.fetch_add(1);
             if (i >= num_files || err.load() != 0) return;
@@ -215,9 +229,13 @@ int aa_read_bundle_f32(const char** paths, int32_t num_files, float* out,
             int rc = probe_wav(paths[i], info);
             if (rc != 0) { err.store(rc); return; }
 
+            // only the frames that fit the output are decoded (the data
+            // region is a contiguous prefix)
             const int64_t frames = std::min<int64_t>(info.frames, n_max);
-            scratch.resize(static_cast<size_t>(info.frames) * info.channels);
-            rc = decode_wav(paths[i], info, scratch.data(),
+            WavInfo capped = info;
+            capped.frames = frames;
+            scratch.resize(static_cast<size_t>(frames) * info.channels);
+            rc = decode_wav(paths[i], capped, scratch.data(),
                             static_cast<int64_t>(scratch.size()));
             if (rc != 0) { err.store(rc); return; }
 
@@ -230,6 +248,11 @@ int aa_read_bundle_f32(const char** paths, int32_t num_files, float* out,
                 }
             }
             lengths[i] = frames;
+        }
+        } catch (...) {
+            // an exception escaping a thread entry point would terminate
+            // the whole process; convert to an error code instead
+            err.store(kErrFormat);
         }
     };
 
@@ -255,6 +278,7 @@ int aa_read_bundle_planar_i16(const char** paths, int32_t num_files,
 
     auto worker = [&]() {
         std::vector<char> raw;
+        try {
         for (;;) {
             int i = next.fetch_add(1);
             if (i >= num_files || err.load() != 0) return;
@@ -271,8 +295,9 @@ int aa_read_bundle_planar_i16(const char** paths, int32_t num_files,
             if (!f) { err.store(kErrOpen); return; }
             f.seekg(info.data_offset);
             const int in_ch = info.channels;
+            // only the frames that fit the output are read (contiguous prefix)
             const int64_t frames = std::min<int64_t>(info.frames, n_max);
-            const int64_t raw_bytes = info.frames * in_ch * 2;
+            const int64_t raw_bytes = frames * in_ch * 2;
             raw.resize(static_cast<size_t>(raw_bytes));
             if (!read_exact(f, raw.data(), static_cast<size_t>(raw_bytes))) {
                 err.store(kErrFormat);
@@ -289,6 +314,9 @@ int aa_read_bundle_planar_i16(const char** paths, int32_t num_files,
                 }
             }
             lengths[i] = frames;
+        }
+        } catch (...) {
+            err.store(kErrFormat);
         }
     };
 
