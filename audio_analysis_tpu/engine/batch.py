@@ -462,10 +462,13 @@ def analyze_bundle(
         )
         takes.append(take)
 
-    # all chunks dispatched; ONE host fetch per chunk, then unpack
+    # all chunks dispatched; ONE packed host fetch for the whole bundle
+    # (every fetch costs a full round-trip on high-latency links)
+    packed = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else np.asarray(flats[0])
+    per = int(flats[0].shape[0])
     chunks = []
-    for flat, take in zip(flats, takes):
-        res = unpack_flat(np.asarray(flat), spec)
+    for idx, take in enumerate(takes):
+        res = unpack_flat(packed[idx * per : (idx + 1) * per], spec)
         if take < chunk_taps:
             res = {k: v[:take] for k, v in res.items()}
         chunks.append(res)

@@ -71,7 +71,11 @@ def bench_full_engine(chunks, lengths) -> float:
 
     start = time.perf_counter()
     flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
-    results = [unpack_flat(np.asarray(f), spec) for f in flats]
+    # ONE device->host fetch for every chunk (each fetch costs a ~25 ms
+    # round-trip on the dev relay)
+    packed = np.asarray(jnp.concatenate(flats))
+    per = flats[0].shape[0]
+    results = [unpack_flat(packed[i * per : (i + 1) * per], spec) for i in range(len(flats))]
     elapsed = time.perf_counter() - start
     assert all(np.all(r["t30_ok"]) for r in results)
     return elapsed
@@ -109,7 +113,10 @@ def bench_device() -> dict:
 
     start = time.perf_counter()
     flats = [analyze_batch_flat(ch, lengths, config) for ch in chunks]
-    results = [unpack_flat(np.asarray(f), spec) for f in flats]
+    # single packed fetch for all chunks (one ~25 ms relay round-trip)
+    packed = np.asarray(jnp.concatenate(flats))
+    per = flats[0].shape[0]
+    results = [unpack_flat(packed[i * per : (i + 1) * per], spec) for i in range(len(flats))]
     elapsed = time.perf_counter() - start
 
     ok = np.concatenate([r["t30_ok"] for r in results], axis=0)
