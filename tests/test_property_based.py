@@ -1,0 +1,123 @@
+"""
+Property-based tests (hypothesis): randomised inputs for the precision-
+critical kernels and fuzzed bytes for the untrusted-input WAV parsers.
+
+Example counts are kept small: kernel cases run on the default backend
+(the dev TPU pays ~25 ms per fetch), parser cases are host-only and cheap.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as st
+
+from audio_analysis_tpu import oracle
+
+SR = 48_000
+
+
+# ----------------------------------------------------------------------------
+# kernels vs oracle on randomised decays
+# ----------------------------------------------------------------------------
+
+
+@hsettings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rt60=st.floats(min_value=0.05, max_value=3.0),
+    onset=st.integers(min_value=0, max_value=2000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_edc_t30_matches_oracle_on_random_decays(rt60, onset, seed):
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.ops import dbfit, edc
+
+    n = 1 << 15
+    rng = np.random.default_rng(seed)
+    t = np.arange(n - onset) / SR
+    x = np.zeros(n, np.float32)
+    x[onset:] = (0.1 * rng.standard_normal(n - onset) * 10.0 ** (-3.0 * t / rt60)).astype(
+        np.float32
+    )
+    x[onset] = 0.9
+
+    seg = x[onset:].astype(np.float64)
+    t_o, edc_o, _ = oracle.schroeder_edc_db(seg, SR)
+    fit_o = oracle.fit_decay_slope(t_o, edc_o, (-5.0, -35.0))
+
+    seg32 = np.zeros(n, np.float32)
+    seg32[: seg.size] = seg
+    curve = edc.schroeder_edc_db(
+        jnp.asarray(seg32[None, :]), jnp.asarray(np.array([seg.size], np.int32))
+    )
+    fit_k = dbfit.fit_decay_slope_over_db_range(
+        curve.edc_db, curve.length, (-5.0, -35.0), -80.0, SR
+    )
+
+    if fit_o is None:
+        # short/fast decays may not reach the range — kernel must agree
+        assert not bool(np.asarray(fit_k.ok)[0])
+    else:
+        assert bool(np.asarray(fit_k.ok)[0])
+        rt_k = float(np.asarray(fit_k.rt60_seconds)[0])
+        assert rt_k == pytest.approx(float(fit_o[3]), rel=2e-3)
+
+
+# ----------------------------------------------------------------------------
+# WAV header parsers under fuzzed headers (must raise/return, never hang,
+# never mis-parse a valid layout)
+# ----------------------------------------------------------------------------
+
+
+def _wav_bytes(chunks: list) -> bytes:
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    return cid + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+
+@hsettings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=256))
+def test_header_probe_never_crashes_on_fuzz(tmp_path_factory, data):
+    from audio_analysis_tpu.io.wav import read_wav_header_info
+
+    path = tmp_path_factory.mktemp("fuzz") / "f.wav"
+    path.write_bytes(b"RIFF" + data)
+    try:
+        frames, channels, rate = read_wav_header_info(path)
+        assert frames >= 0 and channels > 0 and rate >= 0
+    except (ValueError, struct.error):
+        pass  # rejection is the expected outcome for malformed input
+
+
+@hsettings(max_examples=20, deadline=None)
+@given(
+    n_junk=st.integers(min_value=0, max_value=3),
+    junk_len=st.integers(min_value=0, max_value=33),
+    frames=st.integers(min_value=1, max_value=64),
+    channels=st.integers(min_value=1, max_value=2),
+)
+def test_header_probe_parses_valid_layouts_with_junk_chunks(
+    tmp_path_factory, n_junk, junk_len, frames, channels
+):
+    from audio_analysis_tpu.io.wav import read_wav_header_info
+
+    fmt = struct.pack("<HHIIHH", 1, channels, SR, SR * channels * 2, channels * 2, 16)
+    data = b"\x01\x00" * (frames * channels)
+    chunks = [_chunk(b"JUNK", b"j" * junk_len) for _ in range(n_junk)]
+    chunks += [_chunk(b"fmt ", fmt), _chunk(b"data", data)]
+    path = tmp_path_factory.mktemp("valid") / "v.wav"
+    path.write_bytes(_wav_bytes(chunks))
+
+    got = read_wav_header_info(path)
+    assert got == (frames, channels, SR)
+
+    from audio_analysis_tpu.io import native
+
+    if native.available():
+        assert native.read_wav_info(path) == (frames, channels, SR)
