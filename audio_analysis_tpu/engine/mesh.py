@@ -104,9 +104,10 @@ def analyze_batch_sharded(
     config = dataclasses.replace(config, use_pallas_edc=False)
 
     n_shards = mesh.shape["taps"]
-    batch_p, lengths_p, pad = _pad_to_multiple(
-        np.asarray(batch, np.float32), np.asarray(lengths, np.int32), n_shards
-    )
+    batch = np.asarray(batch)
+    if batch.dtype != np.int16:  # int16 rides the link raw; engine converts
+        batch = batch.astype(np.float32, copy=False)
+    batch_p, lengths_p, pad = _pad_to_multiple(batch, np.asarray(lengths, np.int32), n_shards)
 
     data_sharding = NamedSharding(mesh, P("taps", None, None))
     len_sharding = NamedSharding(mesh, P("taps"))

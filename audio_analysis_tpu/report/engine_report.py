@@ -30,9 +30,45 @@ class EngineBundleSettings:
     use_mono_downmix_for_stereo: bool = False
     config: EngineConfig = EngineConfig()
     chunk_taps: int = 16
+    # "auto": shard the tap batch over all local devices when more than one
+    # is visible (shard_map over the "taps" mesh — the v5e-8 path);
+    # "off": single-device chunked engine.
+    use_device_mesh: str = "auto"
 
 
 _BAND_NAMES = ("Low", "Mid", "High")
+
+
+def _analyze_possibly_sharded(
+    batch: np.ndarray,
+    lengths: np.ndarray,
+    config: EngineConfig,
+    settings: "EngineBundleSettings",
+) -> Dict[str, np.ndarray]:
+    """
+    Tap-data-parallel engine when several devices are visible (shard_map
+    over the "taps" mesh, chunked so per-device HBM stays bounded by
+    chunk_taps), single-device chunked engine otherwise.
+    """
+    import jax
+
+    n_dev = len(jax.devices())
+    if str(settings.use_device_mesh).lower() == "off" or n_dev <= 1:
+        return analyze_bundle(batch, lengths, config, settings.chunk_taps)
+
+    from audio_analysis_tpu.engine.mesh import analyze_batch_sharded, make_mesh
+
+    mesh = make_mesh()
+    chunk = max(1, settings.chunk_taps) * n_dev
+    b = batch.shape[0]
+    parts: List[Dict[str, np.ndarray]] = []
+    for lo in range(0, b, chunk):
+        hi = min(b, lo + chunk)
+        out = analyze_batch_sharded(mesh, batch[lo:hi], lengths[lo:hi], config)
+        parts.append(
+            {k: np.asarray(v) for k, v in out.items() if not k.startswith("bundle_")}
+        )
+    return {k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]}
 
 
 def _channel_names_from_output(out: Dict[str, np.ndarray]) -> List[str]:
@@ -237,7 +273,7 @@ def run_bundle_report_engine(
         config = replace(config, downmix_to_mono=True)
 
     start_compute = time.perf_counter()
-    out = analyze_bundle(batch, lengths, config, settings.chunk_taps)
+    out = _analyze_possibly_sharded(batch, lengths, config, settings)
     compute_seconds = time.perf_counter() - start_compute
 
     # channel names follow the engine's ACTUAL channel count, so a
