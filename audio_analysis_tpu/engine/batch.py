@@ -464,13 +464,18 @@ def analyze_bundle(
 
     # all chunks dispatched; ONE packed host fetch for the whole bundle
     # (every fetch costs a full round-trip on high-latency links)
-    packed = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else np.asarray(flats[0])
-    per = int(flats[0].shape[0])
     chunks = []
-    for idx, take in enumerate(takes):
-        res = unpack_flat(packed[idx * per : (idx + 1) * per], spec)
+    for res, take in zip(fetch_packed(flats, spec), takes):
         if take < chunk_taps:
             res = {k: v[:take] for k, v in res.items()}
         chunks.append(res)
 
     return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}
+
+
+def fetch_packed(flats, spec) -> "list[Dict[str, np.ndarray]]":
+    """Fetch many dispatched flat metric vectors in ONE device->host copy
+    (concatenated on device), then unpack each against `spec`."""
+    packed = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 else np.asarray(flats[0])
+    per = int(flats[0].shape[0])
+    return [unpack_flat(packed[i * per : (i + 1) * per], spec) for i in range(len(flats))]

@@ -125,6 +125,8 @@ def analyze_bundle_multi_host(
     n_dev = len(device_list)
 
     meta = read_bundle_meta(bundle_root)
+    if config.sample_rate_hz != meta.sample_rate_hz:
+        config = dataclasses.replace(config, sample_rate_hz=meta.sample_rate_hz)
     names = meta.taps
     b = len(names)
     if b == 0:
@@ -184,8 +186,6 @@ def analyze_bundle_multi_host(
     result: Dict[str, object] = {k: _local_rows(v) for k, v in out.items()}
     result.update({k: np.asarray(v) for k, v in agg.items()})
     result["local_tap_names"] = local_names
-    result["_config"] = dataclasses.replace(config)  # as actually run
-    result["_sample_rate_hz"] = meta.sample_rate_hz
     return result
 
 
@@ -208,10 +208,15 @@ def run_bundle_report_multi_host(
         format_tap_summary,
     )
 
+    from audio_analysis_tpu.engine.batch import EngineConfig
+    from audio_analysis_tpu.io.bundle import read_bundle_meta
+
     bundle_root = Path(bundle_root)
-    out = analyze_bundle_multi_host(bundle_root, config)
-    sr = int(out["_sample_rate_hz"])  # type: ignore[arg-type]
-    run_config = out["_config"]
+    sr = read_bundle_meta(bundle_root).sample_rate_hz
+    run_config = dataclasses.replace(
+        config if config is not None else EngineConfig(), sample_rate_hz=sr
+    )
+    out = analyze_bundle_multi_host(bundle_root, run_config)
     names = out["local_tap_names"]
     channel_names = _channel_names_from_output(out)
 

@@ -216,16 +216,14 @@ def log_frequency_image(
     """
     log_lo, log_hi = np.log10(f_min), np.log10(f_max)
     edges = np.logspace(log_lo, log_hi, rows + 1)
-    idx = np.searchsorted(freq_hz, edges).clip(0, mag_fb_t.shape[0])
+    n_bins = mag_fb_t.shape[0]
+    idx = np.searchsorted(freq_hz, edges).clip(0, n_bins)
     image = np.empty((rows, mag_fb_t.shape[1]), dtype=np.float32)
-    prev_row = None
     for r in range(rows):
-        lo_i, hi_i = idx[r], idx[r + 1]
+        lo_i, hi_i = int(idx[r]), int(idx[r + 1])
         if hi_i <= lo_i:
-            # sub-bin row: nearest source bin
-            src = min(mag_fb_t.shape[0] - 1, max(0, int(lo_i)))
-            image[r] = mag_fb_t[src] if prev_row is None or lo_i > 0 else prev_row
+            # sub-bin row (low frequencies): nearest source bin
+            image[r] = mag_fb_t[min(lo_i, n_bins - 1)]
         else:
             image[r] = mag_fb_t[lo_i:hi_i].max(axis=0)
-        prev_row = image[r]
     return image, np.log10(edges)

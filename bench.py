@@ -53,11 +53,8 @@ def bench_full_engine(chunks, lengths) -> float:
     Runs at half-chunks: the full config's modal 8192-FFT intermediates are
     the HBM high-water mark.
     """
-    import jax.numpy as jnp
-    import numpy as np
-
     from audio_analysis_tpu.engine import EngineConfig
-    from audio_analysis_tpu.engine.batch import analyze_batch_flat, _flat_spec, unpack_flat
+    from audio_analysis_tpu.engine.batch import analyze_batch_flat, _flat_spec, fetch_packed
 
     config = EngineConfig()
     half = CHUNK // 2
@@ -73,9 +70,7 @@ def bench_full_engine(chunks, lengths) -> float:
     flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
     # ONE device->host fetch for every chunk (each fetch costs a ~25 ms
     # round-trip on the dev relay)
-    packed = np.asarray(jnp.concatenate(flats))
-    per = flats[0].shape[0]
-    results = [unpack_flat(packed[i * per : (i + 1) * per], spec) for i in range(len(flats))]
+    results = fetch_packed(flats, spec)
     elapsed = time.perf_counter() - start
     assert all(np.all(r["t30_ok"]) for r in results)
     return elapsed
@@ -86,7 +81,7 @@ def bench_device() -> dict:
     import jax.numpy as jnp
 
     from audio_analysis_tpu.engine import enable_persistent_compilation_cache
-    from audio_analysis_tpu.engine.batch import analyze_batch_flat, _flat_spec, unpack_flat
+    from audio_analysis_tpu.engine.batch import analyze_batch_flat, _flat_spec, fetch_packed
     from audio_analysis_tpu.signals.jaxgen import synthetic_reverb_ir_batch
 
     enable_persistent_compilation_cache()
@@ -114,9 +109,7 @@ def bench_device() -> dict:
     start = time.perf_counter()
     flats = [analyze_batch_flat(ch, lengths, config) for ch in chunks]
     # single packed fetch for all chunks (one ~25 ms relay round-trip)
-    packed = np.asarray(jnp.concatenate(flats))
-    per = flats[0].shape[0]
-    results = [unpack_flat(packed[i * per : (i + 1) * per], spec) for i in range(len(flats))]
+    results = fetch_packed(flats, spec)
     elapsed = time.perf_counter() - start
 
     ok = np.concatenate([r["t30_ok"] for r in results], axis=0)
