@@ -262,22 +262,29 @@ def analyze_batch(
     # at bundle scale; lax.map over taps bounds them to one tap at a time
     # while each tap still batch-FFTs thousands of frames.
     if config.run_stft:
+        # max in LINEAR magnitude, dB once on the (C,) result: log10 is
+        # monotonic, so max(dB plane) == dB(max linear plane) — this skips a
+        # transcendental pass over the full (T, F) plane per tap.
+        stft_floor_lin = 10.0 ** (config.magnitude_floor_db / 20.0)
+
         def stft_one(args):
             samples_1, length_1 = args
-            st = stft.stft_mag_db(
+            st = stft.stft_magnitude(
                 samples_1,
                 length_1,
                 config.n_fft,
                 config.hop_length,
                 True,
-                config.magnitude_floor_db,
+                stft_floor_lin,
             )
             return st.num_frames, jnp.max(st.mag_db, axis=(-2, -1))
 
-        num_frames, global_max = jax.lax.map(stft_one, (aligned.samples, aligned.length))
+        num_frames, global_max_lin = jax.lax.map(stft_one, (aligned.samples, aligned.length))
         out["stft_num_frames"] = num_frames
         # waterfall-style global max per (tap, channel) — plot normalisation
-        out["stft_global_max_db"] = global_max
+        out["stft_global_max_db"] = 20.0 * jnp.log10(
+            jnp.maximum(global_max_lin, stft_floor_lin)
+        )
 
     # ---- modal cloud ----
     if config.run_modal:
