@@ -171,6 +171,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-plots", dest="no_plots", action="store_true",
                    help="Engine fast path: text/JSON metric reports only, one fused device "
                         "pass for the whole bundle (no PNG rendering).")
+    p.add_argument("--bands", dest="band_mode", type=str, default="three",
+                   choices=["three", "octave", "third"],
+                   help="RT60 band mode for the engine fast path (rt60bands.py band modes).")
 
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
@@ -708,6 +711,9 @@ def main(argv=None) -> None:
 
     if cmd == "bundle":
         if bool(getattr(args, "no_plots", False)):
+            from dataclasses import replace as _replace
+
+            from audio_analysis_tpu.engine import EngineConfig
             from audio_analysis_tpu.report import EngineBundleSettings, run_bundle_report_engine
 
             index = run_bundle_report_engine(
@@ -715,6 +721,9 @@ def main(argv=None) -> None:
                 EngineBundleSettings(
                     reports_subdir=str(args.reports_subdir),
                     use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                    config=_replace(
+                        EngineConfig(), band_mode=str(getattr(args, "band_mode", "three"))
+                    ),
                 ),
             )
             print(f"Wrote bundle report index: {index}")

@@ -54,11 +54,14 @@ class EngineConfig:
     t30_range_db: Tuple[float, float] = (-5.0, -35.0)
     edt_range_db: Tuple[float, float] = (0.0, -10.0)
 
-    # rt60 three-band defaults (rt60bands.py:44-69)
+    # rt60 bands (rt60bands.py:44-69): "three" | "octave" | "third"
+    band_mode: str = "three"
     low_upper_hz: float = 250.0
     mid_center_hz: float = 1000.0
     mid_width_octaves: float = 2.0
     high_lower_hz: float = 4000.0
+    band_f_min_hz: float = 31.5
+    band_f_max_hz: float = 16000.0
     transition_width_octaves: float = 1.0 / 6.0
 
     # spectra
@@ -98,16 +101,31 @@ class EngineConfig:
     run_diffusion: bool = True
 
 
+def _band_definitions(config: EngineConfig):
+    if config.band_mode == "three":
+        return fftmask.build_three_band_definitions(
+            config.sample_rate_hz,
+            config.low_upper_hz,
+            config.mid_center_hz,
+            config.mid_width_octaves,
+            config.high_lower_hz,
+        )
+    if config.band_mode in ("octave", "third"):
+        per_octave = 1 if config.band_mode == "octave" else 3
+        return fftmask.build_fractional_octave_band_definitions(
+            config.sample_rate_hz, per_octave, config.band_f_min_hz, config.band_f_max_hz
+        )
+    raise ValueError(f"Unknown band_mode: {config.band_mode!r}")
+
+
+def band_names(config: EngineConfig) -> Tuple[str, ...]:
+    """Band labels matching the engine's band_* output axis (host-side)."""
+    return tuple(band.name for band in _band_definitions(config))
+
+
 def _band_masks(config: EngineConfig, n: int) -> np.ndarray:
-    bands = fftmask.build_three_band_definitions(
-        config.sample_rate_hz,
-        config.low_upper_hz,
-        config.mid_center_hz,
-        config.mid_width_octaves,
-        config.high_lower_hz,
-    )
     return fftmask.build_band_mask_matrix(
-        bands, n, config.sample_rate_hz, config.transition_width_octaves
+        _band_definitions(config), n, config.sample_rate_hz, config.transition_width_octaves
     )
 
 
@@ -203,25 +221,38 @@ def analyze_batch(
     # ---- rt60 bands: one batched filterbank + one batched fit set ----
     if config.run_bands:
         masks = jnp.asarray(_band_masks(config, n))
-        banded = fftmask.apply_band_masks(samples, masks)  # (B, C, bands, N)
-        start_b = aligned.start_index[..., None]
-        length_b = lengths_bc[..., None]
-        banded_aligned = trim.shift_to(
-            banded,
-            jnp.broadcast_to(start_b, banded.shape[:-1]),
-            jnp.broadcast_to(length_b, banded.shape[:-1]),
-        )
-        band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
-        for name, range_db in (
+        num_bands = masks.shape[0]
+        band_ranges = (
             ("band_t30", config.t30_range_db),
             ("band_t20", config.t20_range_db),
             ("band_edt", config.edt_range_db),
-        ):
-            fit = dbfit.fit_decay_slope_over_db_range(
-                band_curve.edc_db, band_curve.length, range_db, config.fit_lower_limit_db, sr
+        )
+
+        def bands_one(args):
+            samples_1, start_1, length_1 = args  # (C, N), (C,), (C,)
+            banded = fftmask.apply_band_masks(samples_1, masks)  # (C, bands, N)
+            banded_aligned = trim.shift_to(
+                banded,
+                jnp.broadcast_to(start_1[..., None], banded.shape[:-1]),
+                jnp.broadcast_to(length_1[..., None], banded.shape[:-1]),
             )
-            out[f"{name}_rt60"] = fit.rt60_seconds  # (B, C, bands)
-            out[f"{name}_ok"] = fit.ok
+            band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
+            res = {}
+            for name, range_db in band_ranges:
+                fit = dbfit.fit_decay_slope_over_db_range(
+                    band_curve.edc_db, band_curve.length, range_db, config.fit_lower_limit_db, sr
+                )
+                res[f"{name}_rt60"] = fit.rt60_seconds  # (C, bands)
+                res[f"{name}_ok"] = fit.ok
+            return res
+
+        if num_bands > 3:
+            # octave/third-octave: the (B, C, bands, N) filterbank intermediate
+            # is the HBM high-water mark — lax.map over taps bounds it to one
+            # tap at a time (like the STFT blocks)
+            out.update(jax.lax.map(bands_one, (samples, aligned.start_index, lengths_bc)))
+        else:
+            out.update(bands_one((samples, aligned.start_index, lengths_bc)))
 
     # ---- frequency response diagnostics ----
     nyquist = 0.5 * sr

@@ -36,7 +36,6 @@ class EngineBundleSettings:
     use_device_mesh: str = "auto"
 
 
-_BAND_NAMES = ("Low", "Mid", "High")
 
 
 def _analyze_possibly_sharded(
@@ -133,11 +132,14 @@ def format_tap_summary(
     md.append("```\n")
 
     if "band_t30_rt60" in out:
+        from audio_analysis_tpu.engine.batch import band_names
+
+        labels = band_names(config)
         md.append("## RT60 by band\n\n```text")
         for c, ch in enumerate(channel_names):
             md.append(f"[{ch}]")
             md.append("Band  T30_RT60(s)")
-            for bi, band in enumerate(_BAND_NAMES):
+            for bi, band in enumerate(labels):
                 ok = bool(out["band_t30_ok"][b, c, bi])
                 value = f"{out['band_t30_rt60'][b, c, bi]:.3f}" if ok else "NA"
                 md.append(f"{band}  {value}")

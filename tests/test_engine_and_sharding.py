@@ -177,3 +177,38 @@ def test_engine_bundle_report(tmp_path):
     assert metrics["taps"] == ["tap_0", "tap_1", "tap_2"]
     t30 = np.array(metrics["metrics"]["t30_rt60"])
     np.testing.assert_allclose(t30[:, 0], [0.3, 0.45, 0.6], rtol=0.06)
+
+def test_engine_octave_band_mode_matches_module(tap_batch):
+    """Engine octave/third band modes agree with the rt60bands module path."""
+    from audio_analysis_tpu.analyses import rt60bands
+    from audio_analysis_tpu.engine.batch import band_names
+
+    batch, lengths = tap_batch
+    for mode in ("octave", "third"):
+        config = EngineConfig(
+            band_mode=mode,
+            run_fr=False,
+            run_group_delay=False,
+            run_stft=False,
+            run_modal=False,
+            run_diffusion=False,
+        )
+        labels = band_names(config)
+        out = analyze_bundle(batch[:2], lengths[:2], config, chunk_taps=2)
+        assert out["band_t30_rt60"].shape == (2, 2, len(labels))
+
+        module = rt60bands.analyse_rt60_bands_for_channel(
+            batch[1, 0],
+            SR,
+            "left",
+            rt60bands.Rt60BandsAnalysisSettings(
+                band_mode="octave" if mode == "octave" else "third"
+            ),
+        )
+        assert labels == tuple(module.band_metrics_by_name)
+        for bi, name in enumerate(labels):
+            module_rt = module.band_metrics_by_name[name].rt60_t30_seconds
+            engine_ok = bool(out["band_t30_ok"][1, 0, bi])
+            assert engine_ok == (module_rt is not None), name
+            if module_rt is not None:
+                assert abs(out["band_t30_rt60"][1, 0, bi] - module_rt) / module_rt < 0.01
