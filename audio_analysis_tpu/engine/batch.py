@@ -511,6 +511,58 @@ def analyze_bundle(
     return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}
 
 
+def analyze_bundle_pipelined(
+    loader,
+    lengths: np.ndarray,
+    n_max: int,
+    config: EngineConfig = EngineConfig(),
+    chunk_taps: int = 16,
+    channels: int = 2,
+) -> Dict[str, np.ndarray]:
+    """
+    Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
+    (hi-lo, channels, n_max) host chunk (see io.bundle.open_bundle_chunks_i16).
+    Chunk k+1 decodes on a worker thread while chunk k's host->device
+    transfer + engine dispatch are in flight, so WAV decode rides inside the
+    device timeline instead of in front of it. Output matches analyze_bundle.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    b = int(len(lengths))
+    chunk_taps = min(chunk_taps, b)
+    lengths = np.asarray(lengths, np.int32)
+    spec = None
+
+    flats = []
+    takes = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(loader, 0, min(b, chunk_taps))
+        for lo in range(0, b, chunk_taps):
+            hi = min(b, lo + chunk_taps)
+            cb = fut.result()
+            if hi < b:
+                fut = ex.submit(loader, hi, min(b, hi + chunk_taps))
+            if spec is None:
+                spec = _flat_spec((chunk_taps, channels, n_max), (chunk_taps,), config)
+            take = hi - lo
+            cl = lengths[lo:hi]
+            if take < chunk_taps:
+                pad = chunk_taps - take
+                cb = np.concatenate(
+                    [cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0
+                )
+                cl = np.concatenate([cl, np.full(pad, n_max // 2, np.int32)])
+            flats.append(analyze_batch_flat(jnp.asarray(cb), jnp.asarray(cl), config))
+            takes.append(take)
+
+    chunks = []
+    for res, take in zip(fetch_packed(flats, spec), takes):
+        if take < chunk_taps:
+            res = {k: v[:take] for k, v in res.items()}
+        chunks.append(res)
+    return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}
+
+
 def fetch_packed(flats, spec) -> "list[Dict[str, np.ndarray]]":
     """Fetch many dispatched flat metric vectors in ONE device->host copy
     (concatenated on device), then unpack each against `spec`."""

@@ -155,3 +155,50 @@ def load_bundle_batch_i16(
         return None
     batch_i16, length_arr = result
     return meta, batch_i16, length_arr.astype(np.int32), meta.taps
+
+
+def open_bundle_chunks_i16(
+    bundle_root: str | Path,
+    pad_multiple: int = 4096,
+    num_threads: int = 8,
+):
+    """
+    Chunked PCM16 fast path for pipelined decode: returns
+    (meta, lengths (B,) int32, names, n_max, loader) where loader(lo, hi)
+    decodes taps [lo, hi) into a planar (hi-lo, 2, n_max) int16 chunk with
+    the native threaded decoder. Header-probes every tap up front (cheap) so the
+    padded shape is fixed before any PCM is read; callers can then decode
+    chunk k+1 on a worker thread while chunk k is uploading/dispatching.
+    Returns None when the native library is missing or any tap is not plain
+    PCM16 (use the batch loaders then).
+    """
+    if not native.available():
+        return None
+    bundle_root = Path(bundle_root)
+    meta = read_bundle_meta(bundle_root)
+    paths = [bundle_root / "taps" / f"{t}.wav" for t in meta.taps]
+
+    lengths = []
+    for p in paths:
+        frames, _, rate = native.read_wav_info(p)
+        if rate != meta.sample_rate_hz:
+            raise ValueError(f"Tap {p} sample rate {rate} != bundle {meta.sample_rate_hz}")
+        lengths.append(frames)
+    n_max = _round_up(max(lengths) if lengths else pad_multiple, pad_multiple)
+
+    def loader(lo: int, hi: int):
+        result = native.read_bundle_planar_i16(paths[lo:hi], n_max, 2, num_threads)
+        if result is None:
+            raise IOError(
+                f"Bundle taps [{lo}:{hi}) are not plain PCM16; "
+                "use load_bundle_batch instead"
+            )
+        chunk_i16, _chunk_lengths = result
+        return chunk_i16
+
+    # probe one tap so a non-PCM16 bundle is detected up front (the caller
+    # then falls back to the f32 batch loader before any pipelining starts)
+    if paths and native.read_bundle_planar_i16(paths[:1], n_max, 2, 1) is None:
+        return None
+
+    return meta, np.asarray(lengths, np.int32), meta.taps, n_max, loader

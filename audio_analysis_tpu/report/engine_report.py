@@ -251,19 +251,34 @@ def run_bundle_report_engine(
         )
     start_total = time.perf_counter()
 
+    import jax
+
+    from audio_analysis_tpu.engine.batch import analyze_bundle_pipelined
+    from audio_analysis_tpu.io.bundle import open_bundle_chunks_i16
+
+    use_mesh = str(settings.use_device_mesh).lower() != "off" and len(jax.devices()) > 1
+
     # PCM16 fast path: planar int16 straight from the native decoder, float
     # conversion — and the 0.5*(L+R) mono downmix when requested — happen
     # on device, so host decode and the host->device link both move half
-    # the bytes of the f32 path.
-    fast = load_bundle_batch_i16(bundle_root)
-    if fast is not None:
-        meta, batch, lengths, names = fast
+    # the bytes of the f32 path. On the single-device path the decode is
+    # additionally PIPELINED: chunk k+1 decodes on a worker thread while
+    # chunk k uploads/dispatches.
+    chunked = None if use_mesh else open_bundle_chunks_i16(bundle_root)
+    if chunked is not None:
+        meta, lengths, names, n_max, loader = chunked
+        batch = None
         downmix_on_device = settings.use_mono_downmix_for_stereo
     else:
-        meta, batch, lengths, names = load_bundle_batch(bundle_root)
-        downmix_on_device = False
-        if settings.use_mono_downmix_for_stereo:
-            batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
+        fast = load_bundle_batch_i16(bundle_root)
+        if fast is not None:
+            meta, batch, lengths, names = fast
+            downmix_on_device = settings.use_mono_downmix_for_stereo
+        else:
+            meta, batch, lengths, names = load_bundle_batch(bundle_root)
+            downmix_on_device = False
+            if settings.use_mono_downmix_for_stereo:
+                batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
     load_seconds = time.perf_counter() - start_total
 
     from dataclasses import replace
@@ -275,7 +290,12 @@ def run_bundle_report_engine(
         config = replace(config, downmix_to_mono=True)
 
     start_compute = time.perf_counter()
-    out = _analyze_possibly_sharded(batch, lengths, config, settings)
+    if batch is None:
+        out = analyze_bundle_pipelined(
+            loader, lengths, n_max, config, settings.chunk_taps
+        )
+    else:
+        out = _analyze_possibly_sharded(batch, lengths, config, settings)
     compute_seconds = time.perf_counter() - start_compute
 
     # channel names follow the engine's ACTUAL channel count, so a

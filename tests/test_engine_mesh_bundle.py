@@ -99,3 +99,76 @@ def test_engine_bundle_auto_shards_over_mesh(tmp_path):
     np.testing.assert_allclose(
         np.asarray(results["auto"]["fr_peak"]), np.asarray(results["off"]["fr_peak"]), rtol=1e-6
     )
+
+
+_PIPELINED_WORKER = r"""
+import sys
+import numpy as np
+
+from audio_analysis_tpu.engine import EngineConfig
+from audio_analysis_tpu.engine.batch import analyze_bundle, analyze_bundle_pipelined
+from audio_analysis_tpu.io.bundle import load_bundle_batch_i16, open_bundle_chunks_i16
+
+bundle = sys.argv[1]
+cfg = EngineConfig(run_modal=False)
+
+meta, batch, lengths, names = load_bundle_batch_i16(bundle)
+ref = analyze_bundle(batch, lengths, cfg, chunk_taps=2)
+
+meta2, lengths2, names2, n_max, loader = open_bundle_chunks_i16(bundle)
+assert n_max == batch.shape[-1], (n_max, batch.shape)
+assert np.array_equal(lengths, lengths2)
+assert list(names) == list(names2)
+
+pipe = analyze_bundle_pipelined(loader, lengths2, n_max, cfg, chunk_taps=2)
+assert sorted(pipe) == sorted(ref)
+for k in ref:
+    np.testing.assert_array_equal(pipe[k], ref[k], err_msg=k)
+print("worker ok")
+"""
+
+
+def test_pipelined_bundle_matches_batch(tmp_path):
+    """analyze_bundle_pipelined (threaded chunk decode) is bit-identical to
+    analyze_bundle on the same PCM16 bundle: same chunking, same compiled
+    program, same padding policy."""
+    from audio_analysis_tpu.io import native
+    from audio_analysis_tpu.io.bundle import write_bundle
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native audioio library not built (make -C cpp)")
+
+    sr = 48_000
+    n = 16_384
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / sr
+    taps = {}
+    for i, rt60 in enumerate([0.12, 0.2, 0.27, 0.33, 0.4]):  # 5 taps, chunk 2 -> padded tail
+        env = 10.0 ** (-3.0 * t / rt60)
+        x = np.zeros((n, 2), np.float32)
+        x[64:, :] = (0.05 * rng.standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(
+            np.float32
+        )
+        x[64, :] = 0.9
+        taps[f"tap{i}"] = x
+    bundle = tmp_path / "bundle"
+    write_bundle(bundle, taps, sr)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)]))
+
+    worker = tmp_path / "worker_pipelined.py"
+    worker.write_text(_PIPELINED_WORKER)
+    run = subprocess.run(
+        [sys.executable, str(worker), str(bundle)],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        timeout=600,
+    )
+    assert run.returncode == 0, run.stderr.decode()[-3000:]
+    assert b"worker ok" in run.stdout
