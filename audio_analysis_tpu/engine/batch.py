@@ -87,6 +87,11 @@ class EngineConfig:
     # kernel selection: use the fused Pallas EDC kernel when the padded
     # length qualifies (N % 16384 == 0) and we're compiling for TPU
     use_pallas_edc: bool = True
+    # rfft implementation for the frame STFT blocks: "mx" = MXU-factored
+    # matmul FFT (ops/mxfft.py, ~1.4x XLA on batched 4096-pt frames),
+    # "xla" = jnp.fft. Full-signal FFTs (bands/FR/deconvolve) stay on XLA,
+    # which wins at 2^20.
+    stft_fft_impl: str = "xla"
 
     # 0.5*(L+R) downmix ON DEVICE before analysis (io.py:89-92 policy) —
     # lets the mono path keep the raw int16 host->device transfer
@@ -307,6 +312,7 @@ def analyze_batch(
                 config.hop_length,
                 True,
                 stft_floor_lin,
+                config.stft_fft_impl,
             )
             return st.num_frames, jnp.max(st.mag_db, axis=(-2, -1))
 
@@ -333,6 +339,7 @@ def analyze_batch(
                 config.hop_length,
                 True,
                 floor_lin,
+                config.stft_fft_impl,
             )
             # bin means in LINEAR magnitude (one matmul), dB once at the end
             binned = jax.lax.dot_general(
@@ -518,6 +525,7 @@ def analyze_bundle_pipelined(
     config: EngineConfig = EngineConfig(),
     chunk_taps: int = 16,
     channels: int = 2,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -525,39 +533,57 @@ def analyze_bundle_pipelined(
     Chunk k+1 decodes on a worker thread while chunk k's host->device
     transfer + engine dispatch are in flight, so WAV decode rides inside the
     device timeline instead of in front of it. Output matches analyze_bundle.
+
+    With `mesh` (a 1D "taps" Mesh) each chunk is `chunk_taps` taps PER
+    DEVICE, dispatched via shard_map (engine.mesh) with the decoded host
+    chunk device_put straight onto the tap sharding; results still come
+    back in one packed fetch.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     b = int(len(lengths))
-    chunk_taps = min(chunk_taps, b)
+    n_shards = int(mesh.shape["taps"]) if mesh is not None else 1
+    chunk_taps = max(1, min(chunk_taps, -(-b // n_shards)))
+    chunk = chunk_taps * n_shards
     lengths = np.asarray(lengths, np.int32)
     spec = None
+
+    if mesh is not None:
+        from audio_analysis_tpu.engine.mesh import analyze_batch_sharded_flat
+
+        def dispatch(cb, cl):
+            return analyze_batch_sharded_flat(mesh, cb, cl, config)
+
+    else:
+
+        def dispatch(cb, cl):
+            return analyze_batch_flat(jnp.asarray(cb), jnp.asarray(cl), config)
 
     flats = []
     takes = []
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(loader, 0, min(b, chunk_taps))
-        for lo in range(0, b, chunk_taps):
-            hi = min(b, lo + chunk_taps)
+        fut = ex.submit(loader, 0, min(b, chunk))
+        for lo in range(0, b, chunk):
+            hi = min(b, lo + chunk)
             cb = fut.result()
             if hi < b:
-                fut = ex.submit(loader, hi, min(b, hi + chunk_taps))
+                fut = ex.submit(loader, hi, min(b, hi + chunk))
             if spec is None:
-                spec = _flat_spec((chunk_taps, channels, n_max), (chunk_taps,), config)
+                spec = _flat_spec((chunk, channels, n_max), (chunk,), config)
             take = hi - lo
             cl = lengths[lo:hi]
-            if take < chunk_taps:
-                pad = chunk_taps - take
+            if take < chunk:
+                pad = chunk - take
                 cb = np.concatenate(
                     [cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0
                 )
                 cl = np.concatenate([cl, np.full(pad, n_max // 2, np.int32)])
-            flats.append(analyze_batch_flat(jnp.asarray(cb), jnp.asarray(cl), config))
+            flats.append(dispatch(cb, cl))
             takes.append(take)
 
     chunks = []
     for res, take in zip(fetch_packed(flats, spec), takes):
-        if take < chunk_taps:
+        if take < chunk:
             res = {k: v[:take] for k, v in res.items()}
         chunks.append(res)
     return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}

@@ -132,3 +132,33 @@ def analyze_batch_sharded(
     )
     out["bundle_valid_taps"] = jnp.sum(jnp.any(out["t30_ok"], axis=-1))
     return out
+
+
+@jax.jit
+def _pack_values(values):
+    """Device-side flat pack of per-tap metric arrays (one fetch instead of
+    one round-trip per key per chunk — each costs ~25 ms on the dev relay)."""
+    return jnp.concatenate([v.astype(jnp.float32).ravel() for v in values])
+
+
+def analyze_batch_sharded_flat(
+    mesh: Mesh,
+    batch: np.ndarray,
+    lengths: np.ndarray,
+    config: EngineConfig = EngineConfig(),
+) -> jax.Array:
+    """
+    Sharded engine chunk packed into one flat f32 vector, laid out exactly
+    like engine.batch.analyze_batch_flat (sorted keys, raveled) so
+    fetch_packed/unpack_flat reassemble it. The batch size must be a
+    multiple of the mesh's taps axis (callers pad); bundle aggregates are
+    not included (computed host-side over the full bundle).
+    """
+    if batch.shape[0] % mesh.shape["taps"]:
+        raise ValueError(
+            f"batch of {batch.shape[0]} taps not divisible by mesh "
+            f"taps={mesh.shape['taps']} (pad the chunk)"
+        )
+    out = analyze_batch_sharded(mesh, batch, lengths, config)
+    keys = sorted(k for k in out if not k.startswith("bundle_"))
+    return _pack_values(tuple(out[k] for k in keys))

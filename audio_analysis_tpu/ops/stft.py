@@ -69,7 +69,20 @@ def hann_window(n_fft: int) -> np.ndarray:
     return np.hanning(n_fft).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin"))
+def _frame_rfft(frames: jnp.ndarray, fft_impl: str) -> jnp.ndarray:
+    """rfft over the last axis; "mx" = MXU-factored matmul FFT (ops/mxfft.py,
+    ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft."""
+    if fft_impl == "mx":
+        from audio_analysis_tpu.ops.mxfft import rfft_mx
+
+        return rfft_mx(frames)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl"),
+)
 def stft_magnitude(
     x: jnp.ndarray,
     length: jnp.ndarray,
@@ -77,6 +90,7 @@ def stft_magnitude(
     hop: int,
     use_hann_window: bool = True,
     floor_lin: float = 0.0,
+    fft_impl: str = "xla",
 ) -> StftResult:
     """
     Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
@@ -89,7 +103,7 @@ def stft_magnitude(
         (n_fft,), dtype=jnp.float32
     )
     frames = frame_signal(x, n_fft, hop) * window
-    spectrum = jnp.fft.rfft(frames, axis=-1)
+    spectrum = _frame_rfft(frames, fft_impl)
     mag = jnp.maximum(jnp.abs(spectrum).astype(jnp.float32), floor_lin)
 
     t = mag.shape[-2]
@@ -99,7 +113,10 @@ def stft_magnitude(
     return StftResult(mag, num_frames)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "use_hann_window", "floor_db"))
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop", "use_hann_window", "floor_db", "fft_impl"),
+)
 def stft_mag_db(
     x: jnp.ndarray,
     length: jnp.ndarray,
@@ -107,6 +124,7 @@ def stft_mag_db(
     hop: int,
     use_hann_window: bool = True,
     floor_db: float = -120.0,
+    fft_impl: str = "xla",
 ) -> StftResult:
     """
     x: (..., N) analysis segment starting at index 0, zeros past `length`.
@@ -119,7 +137,7 @@ def stft_mag_db(
     )
 
     frames = frame_signal(x, n_fft, hop) * window
-    spectrum = jnp.fft.rfft(frames, axis=-1)
+    spectrum = _frame_rfft(frames, fft_impl)
     mag_db = db_from_magnitude(jnp.abs(spectrum).astype(jnp.float32), floor_db)
 
     t = mag_db.shape[-2]

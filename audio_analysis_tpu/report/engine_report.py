@@ -261,10 +261,10 @@ def run_bundle_report_engine(
     # PCM16 fast path: planar int16 straight from the native decoder, float
     # conversion — and the 0.5*(L+R) mono downmix when requested — happen
     # on device, so host decode and the host->device link both move half
-    # the bytes of the f32 path. On the single-device path the decode is
-    # additionally PIPELINED: chunk k+1 decodes on a worker thread while
-    # chunk k uploads/dispatches.
-    chunked = None if use_mesh else open_bundle_chunks_i16(bundle_root)
+    # the bytes of the f32 path. The decode is additionally PIPELINED:
+    # chunk k+1 decodes on a worker thread while chunk k uploads/dispatches
+    # (single-device and mesh-sharded dispatch alike).
+    chunked = open_bundle_chunks_i16(bundle_root)
     if chunked is not None:
         meta, lengths, names, n_max, loader = chunked
         batch = None
@@ -291,8 +291,13 @@ def run_bundle_report_engine(
 
     start_compute = time.perf_counter()
     if batch is None:
+        mesh = None
+        if use_mesh:
+            from audio_analysis_tpu.engine.mesh import make_mesh
+
+            mesh = make_mesh()
         out = analyze_bundle_pipelined(
-            loader, lengths, n_max, config, settings.chunk_taps
+            loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh
         )
     else:
         out = _analyze_possibly_sharded(batch, lengths, config, settings)

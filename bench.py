@@ -32,6 +32,10 @@ SR = 48_000
 BATCH = 64
 NUM_SAMPLES = 1 << 20
 CHUNK = 16
+# The dev relay stalls erratically (10-150x latency swings, see
+# docs/PERFORMANCE.md methodology); timed sections repeat and take the
+# best so one stall can't corrupt the recorded number.
+REPEATS = 3
 
 
 def _bench_config():
@@ -66,14 +70,16 @@ def bench_full_engine(chunks, lengths) -> float:
     spec = _flat_spec((half, 2, NUM_SAMPLES), (half,), config)
     _ = np.asarray(analyze_batch_flat(halves[0], lengths_half, config))  # compile
 
-    start = time.perf_counter()
-    flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
-    # ONE device->host fetch for every chunk (each fetch costs a ~25 ms
-    # round-trip on the dev relay)
-    results = fetch_packed(flats, spec)
-    elapsed = time.perf_counter() - start
-    assert all(np.all(r["t30_ok"]) for r in results)
-    return elapsed
+    best = float("inf")
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
+        # ONE device->host fetch for every chunk (each fetch costs a ~25 ms
+        # round-trip on the dev relay)
+        results = fetch_packed(flats, spec)
+        best = min(best, time.perf_counter() - start)
+        assert all(np.all(r["t30_ok"]) for r in results)
+    return best
 
 
 def bench_device() -> dict:
@@ -106,15 +112,17 @@ def bench_device() -> dict:
     # warmup / compile
     _ = np.asarray(analyze_batch_flat(chunks[0], lengths, config))
 
-    start = time.perf_counter()
-    flats = [analyze_batch_flat(ch, lengths, config) for ch in chunks]
-    # single packed fetch for all chunks (one ~25 ms relay round-trip)
-    results = fetch_packed(flats, spec)
-    elapsed = time.perf_counter() - start
+    elapsed = float("inf")
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        flats = [analyze_batch_flat(ch, lengths, config) for ch in chunks]
+        # single packed fetch for all chunks (one ~25 ms relay round-trip)
+        results = fetch_packed(flats, spec)
+        elapsed = min(elapsed, time.perf_counter() - start)
 
-    ok = np.concatenate([r["t30_ok"] for r in results], axis=0)
-    assert ok.shape[0] == BATCH
-    assert np.all(ok), "bench workload must produce valid T30 fits"
+        ok = np.concatenate([r["t30_ok"] for r in results], axis=0)
+        assert ok.shape[0] == BATCH
+        assert np.all(ok), "bench workload must produce valid T30 fits"
 
     # upload-inclusive variant (one chunk, scaled) for reference
     host_chunk = np.asarray(chunks[0])
@@ -217,11 +225,15 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
 
     timings = {}
     for label in ("cold", "warm"):
-        shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
-        start = time.perf_counter()
-        index = run_bundle_report_engine(bundle_root)
-        timings[label] = time.perf_counter() - start
-        assert index.exists()
+        runs = 1 if label == "cold" else REPEATS - 1
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
+            start = time.perf_counter()
+            index = run_bundle_report_engine(bundle_root)
+            best = min(best, time.perf_counter() - start)
+            assert index.exists()
+        timings[label] = best
     return timings
 
 
