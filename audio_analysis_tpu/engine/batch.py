@@ -88,10 +88,12 @@ class EngineConfig:
     # length qualifies (N % 16384 == 0) and we're compiling for TPU
     use_pallas_edc: bool = True
     # rfft implementation for the frame STFT blocks: "mx" = MXU-factored
-    # matmul FFT (ops/mxfft.py, ~1.4x XLA on batched 4096-pt frames),
-    # "xla" = jnp.fft. Full-signal FFTs (bands/FR/deconvolve) stay on XLA,
-    # which wins at 2^20.
-    stft_fft_impl: str = "xla"
+    # matmul FFT (ops/mxfft.py), "xla" = jnp.fft. Measured on one v5e chip
+    # at 16 taps x 2^20: stft+modal blocks 292 -> 164 ms, full engine
+    # 504 -> 373 ms (per-tap lax.map FFT batches are where XLA's VPU FFT
+    # is weakest). Full-signal FFTs (bands/FR/deconvolve) stay on XLA,
+    # which wins at 2^20. Outputs agree to ~1e-6 dB (Precision.HIGHEST).
+    stft_fft_impl: str = "mx"
 
     # 0.5*(L+R) downmix ON DEVICE before analysis (io.py:89-92 policy) —
     # lets the mono path keep the raw int16 host->device transfer

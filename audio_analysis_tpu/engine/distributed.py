@@ -147,22 +147,29 @@ def analyze_bundle_multi_host(
     ]
     local_names = [names[row] for row in my_rows if row < b]
 
-    local_batch = np.zeros((len(my_rows), 2, n_max), np.float32)
-    local_lengths = np.zeros((len(my_rows),), np.int32)
-    local_valid = np.zeros((len(my_rows),), bool)
-    for out_row, row in enumerate(my_rows):
-        # Padded rows replay an earlier tap so every shard runs real data;
-        # they are excluded from outputs and aggregates via local_valid.
-        loaded = load_wav_file(
-            tap_paths[row % b],
-            meta.sample_rate_hz,
-            "stereo",
-            allow_mono_and_upmix_to_stereo=True,
-        )
-        n = loaded.samples.shape[0]
-        local_batch[out_row, :, :n] = loaded.samples.T
-        local_lengths[out_row] = n
-        local_valid[out_row] = row < b
+    # Padded rows replay an earlier tap so every shard runs real data;
+    # they are excluded from outputs and aggregates via local_valid.
+    from audio_analysis_tpu.io import native
+
+    my_paths = [tap_paths[row % b] for row in my_rows]
+    local_valid = np.array([row < b for row in my_rows], bool)
+    if native.available():
+        interleaved, length_arr = native.read_bundle(my_paths, n_max, 2)
+        local_batch = np.ascontiguousarray(np.transpose(interleaved, (0, 2, 1)))
+        local_lengths = length_arr.astype(np.int32)
+    else:
+        local_batch = np.zeros((len(my_rows), 2, n_max), np.float32)
+        local_lengths = np.zeros((len(my_rows),), np.int32)
+        for out_row, path in enumerate(my_paths):
+            loaded = load_wav_file(
+                path,
+                meta.sample_rate_hz,
+                "stereo",
+                allow_mono_and_upmix_to_stereo=True,
+            )
+            n = loaded.samples.shape[0]
+            local_batch[out_row, :, :n] = loaded.samples.T
+            local_lengths[out_row] = n
 
     data_sh = NamedSharding(mesh, P("taps", None, None))
     row_sh = NamedSharding(mesh, P("taps"))

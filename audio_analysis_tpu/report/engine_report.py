@@ -280,6 +280,8 @@ def run_bundle_report_engine(
             if settings.use_mono_downmix_for_stereo:
                 batch = np.mean(batch, axis=1, keepdims=True).astype(np.float32)
     load_seconds = time.perf_counter() - start_total
+    if len(names) == 0:
+        raise ValueError(f"Bundle {bundle_root} has no taps.")
 
     from dataclasses import replace
 
