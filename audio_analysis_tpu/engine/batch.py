@@ -27,7 +27,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio_analysis_tpu.ops import dbfit, diffusion as dops, edc, fftmask, logfreq, stft, trim
+from audio_analysis_tpu.ops import (
+    dbfit,
+    diffusion as dops,
+    edc,
+    fftmask,
+    logfreq,
+    selectq,
+    stft,
+    trim,
+)
 from audio_analysis_tpu.ops.common import hann_window_dynamic
 
 
@@ -288,12 +297,12 @@ def analyze_batch(
         phase = jnp.unwrap(jnp.angle(spectrum), axis=-1)
         dw = 2.0 * jnp.pi / n
         gd = -(jnp.gradient(phase, axis=-1) / dw)
-        gd_sel = jnp.where(sel, gd, jnp.nan)
-        # one sort for all three statistics (the F-bin sort dominates)
-        q = jnp.nanpercentile(gd_sel, jnp.asarray([10.0, 50.0, 90.0]), axis=-1)
-        out["gd_median"] = q[1]
-        out["gd_p10"] = q[0]
-        out["gd_p90"] = q[2]
+        # sort-free exact percentiles (ops/selectq): the F-bin bitonic sort
+        # behind nanpercentile was this block's entire cost
+        q = selectq.masked_percentiles(gd, sel, (10.0, 50.0, 90.0))
+        out["gd_p10"] = q[..., 0]
+        out["gd_median"] = q[..., 1]
+        out["gd_p90"] = q[..., 2]
 
     # ---- shared STFT (spectrogram + waterfall consume this one) ----
     # The (B, C, T, n_fft) frame intermediates are the HBM high-water mark
