@@ -414,6 +414,7 @@ def analyze_batch(
             sr,
             config.echo_density_threshold_rms,
             True,
+            config.stft_fft_impl,
         )
         out["diff_median_autocorr"] = jnp.nanmedian(series.max_abs_autocorr, axis=-1)
         out["diff_median_echo_density"] = jnp.nanmedian(series.echo_density, axis=-1)
@@ -432,7 +433,8 @@ def analyze_batch(
             l_al = trim.shift_to(samples[:, 0, :], start, lengths)
             r_al = trim.shift_to(samples[:, -1, :], start, lengths)
             stereo = dops.stereo_diffusion_metrics(
-                l_al.samples, r_al.samples, l_al.length, win, hop, max_lag
+                l_al.samples, r_al.samples, l_al.length, win, hop, max_lag,
+                config.stft_fft_impl,
             )
             out["diff_median_corr0"] = jnp.nanmedian(stereo.corr0, axis=-1)
             out["diff_median_iacc"] = jnp.nanmedian(stereo.iacc_max, axis=-1)

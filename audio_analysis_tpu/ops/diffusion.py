@@ -53,7 +53,7 @@ def _centered(frames: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("win", "hop", "max_lag", "sample_rate_hz",
-                                   "threshold_rms", "normalise_to_gaussian"))
+                                   "threshold_rms", "normalise_to_gaussian", "fft_impl"))
 def diffusion_metrics(
     x: jnp.ndarray,
     length: jnp.ndarray,
@@ -63,6 +63,7 @@ def diffusion_metrics(
     sample_rate_hz: int,
     threshold_rms: float = 1.0,
     normalise_to_gaussian: bool = True,
+    fft_impl: str = "xla",
 ) -> DiffusionSeries:
     """Windowed max|autocorr| and echo density for (..., N) aligned signals."""
     frames, frame_valid = _frames_and_validity(x, length, win, hop)
@@ -70,8 +71,18 @@ def diffusion_metrics(
 
     # --- autocorrelation via rfft (linear, zero-padded) ---
     n_fft = next_pow2(win + max_lag + 1)
-    spec = jnp.fft.rfft(x0, n=n_fft, axis=-1)
-    acorr = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)
+    if fft_impl == "mx":
+        # MXU path: matmul rfft, then the inverse evaluated ONLY at lags
+        # 0..max_lag as a direct synthesis matmul (the power spectrum is
+        # real, so one (F, lags) matmul replaces the full n_fft irfft)
+        from audio_analysis_tpu.ops.mxfft import irfft_mx_at, rfft_mx
+
+        spec = rfft_mx(x0, n_fft)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        acorr = irfft_mx_at(power, n_fft, np.arange(max_lag + 1))
+    else:
+        spec = jnp.fft.rfft(x0, n=n_fft, axis=-1)
+        acorr = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)
     denom = acorr[..., 0]  # = sum x0^2
     lag_slice = jnp.abs(acorr[..., 1 : max_lag + 1])
     # Reference caps the lag range at window-2 (diffusion.py:147); with
@@ -105,7 +116,7 @@ def diffusion_metrics(
     )
 
 
-@partial(jax.jit, static_argnames=("win", "hop", "max_lag"))
+@partial(jax.jit, static_argnames=("win", "hop", "max_lag", "fft_impl"))
 def stereo_diffusion_metrics(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -113,6 +124,7 @@ def stereo_diffusion_metrics(
     win: int,
     hop: int,
     max_lag: int,
+    fft_impl: str = "xla",
 ) -> StereoDiffusionSeries:
     """corr0 + IACC max over +-lags for aligned stereo pairs (..., N)."""
     lf, frame_valid = _frames_and_validity(left, length, win, hop)
@@ -129,16 +141,27 @@ def stereo_diffusion_metrics(
 
     # Cross-correlation for all lags at once: c[l] = sum x0[n] y0[n+l].
     n_fft = next_pow2(win + max_lag + 1)
-    fx = jnp.fft.rfft(x0, n=n_fft, axis=-1)
-    fy = jnp.fft.rfft(y0, n=n_fft, axis=-1)
-    xc = jnp.fft.irfft(jnp.conj(fx) * fy, n=n_fft, axis=-1)
+    if fft_impl == "mx":
+        # MXU path: inverse evaluated only at the +-max_lag lags actually
+        # used (two synthesis matmuls instead of the full n_fft irfft)
+        from audio_analysis_tpu.ops.mxfft import irfft_mx_at, rfft_mx
+
+        fx = rfft_mx(x0, n_fft)
+        fy = rfft_mx(y0, n_fft)
+        z = jnp.conj(fx) * fy
+        xc_pos = irfft_mx_at(z, n_fft, np.arange(max_lag + 1))
+        xc_neg = irfft_mx_at(z, n_fft, n_fft - np.arange(1, max_lag + 1))
+    else:
+        fx = jnp.fft.rfft(x0, n=n_fft, axis=-1)
+        fy = jnp.fft.rfft(y0, n=n_fft, axis=-1)
+        xc = jnp.fft.irfft(jnp.conj(fx) * fy, n=n_fft, axis=-1)
+        xc_pos = xc[..., : max_lag + 1]
+        xc_neg = xc[..., n_fft - max_lag :][..., ::-1]
     usable = min(max_lag, win - 2)
     lag_ok_pos = jnp.arange(0, max_lag + 1) <= usable
     lag_ok_neg = jnp.arange(1, max_lag + 1) <= usable
-    pos = jnp.max(jnp.where(lag_ok_pos, jnp.abs(xc[..., : max_lag + 1]), 0.0), axis=-1)
-    neg = jnp.max(
-        jnp.where(lag_ok_neg, jnp.abs(xc[..., n_fft - max_lag :][..., ::-1]), 0.0), axis=-1
-    )
+    pos = jnp.max(jnp.where(lag_ok_pos, jnp.abs(xc_pos), 0.0), axis=-1)
+    neg = jnp.max(jnp.where(lag_ok_neg, jnp.abs(xc_neg), 0.0), axis=-1)
     iacc = jnp.where(denom_ok, jnp.maximum(pos, neg) / safe, jnp.nan)
 
     invalid = ~frame_valid

@@ -128,6 +128,43 @@ def _rfft_mx_jit(x, n):
     return rfft_mx(x, n)
 
 
+def irfft_mx_at(spec: jnp.ndarray, n: int, out_indices) -> jnp.ndarray:
+    """
+    irfft evaluated at selected output samples as ONE dense synthesis
+    matmul: (..., N//2+1) complex (or real, e.g. a power spectrum) ->
+    (..., len(out_indices)) float32, equal to
+    `jnp.fft.irfft(spec, n)[..., out_indices]`.
+
+    When only M << N output samples are needed (correlation lags: the
+    diffusion block wants +-max_lag of an n_fft-point inverse), the direct
+    hermitian synthesis  x[m] = (1/n)·sum_k w_k·Re(X[k]·e^{i·2πkm/n})
+    (w = 2 except DC/Nyquist) is an (F, M) matmul on the MXU — no FFT, no
+    full-length output, stage cost proportional to M.
+    """
+    out_indices = np.asarray(out_indices, np.int64)
+    f = n // 2 + 1
+    if spec.shape[-1] != f:
+        raise ValueError(f"expected {f} rfft bins, got {spec.shape[-1]}")
+    k = np.arange(f, dtype=np.float64)
+    ang = (2.0 * np.pi / n) * np.outer(k, out_indices % n)
+    w = np.full((f, 1), 2.0 / n)
+    w[0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1] = 1.0 / n
+    cos_m = jnp.asarray((np.cos(ang) * w).astype(np.float32))
+    if jnp.iscomplexobj(spec):
+        sin_m = jnp.asarray((np.sin(ang) * w).astype(np.float32))
+        out = (
+            jnp.einsum("...f,fm->...m", jnp.real(spec), cos_m, precision=_PRECISION)
+            - jnp.einsum("...f,fm->...m", jnp.imag(spec), sin_m, precision=_PRECISION)
+        )
+    else:
+        out = jnp.einsum(
+            "...f,fm->...m", spec.astype(jnp.float32), cos_m, precision=_PRECISION
+        )
+    return out.astype(jnp.float32)
+
+
 def irfft_mx(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """
     MXU irfft: (..., N//2+1) complex64 -> (..., N) float32, matching

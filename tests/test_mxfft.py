@@ -11,13 +11,14 @@ import pytest
 
 from audio_analysis_tpu.ops.mxfft import irfft_mx, rfft_mx
 
-pytestmark = pytest.mark.parametrize("n", [64, 4096, 8192, 1 << 16])
+sizes = pytest.mark.parametrize("n", [64, 4096, 8192, 1 << 16])
 
 
 def _cpu():
     return jax.default_device(jax.devices("cpu")[0])
 
 
+@sizes
 def test_rfft_matches_numpy(n):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((3, n)).astype(np.float32)
@@ -29,6 +30,7 @@ def test_rfft_matches_numpy(n):
     assert err < 1e-5, err
 
 
+@sizes
 def test_irfft_roundtrip(n):
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, n)).astype(np.float32)
@@ -36,3 +38,66 @@ def test_irfft_roundtrip(n):
         back = np.asarray(irfft_mx(rfft_mx(jnp.asarray(x)), n))
     assert back.shape == x.shape
     assert np.max(np.abs(back - x)) < 1e-4
+
+
+def test_irfft_at_selected_indices():
+    rng = np.random.default_rng(2)
+    from audio_analysis_tpu.ops.mxfft import irfft_mx_at
+
+    n = 4096
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    idx = np.concatenate([np.arange(241), n - np.arange(1, 241)])
+    ref = np.fft.irfft(spec, n, axis=-1)[..., idx]
+    with _cpu():
+        got = np.asarray(irfft_mx_at(jnp.asarray(spec.astype(np.complex64)), n, idx))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_irfft_at_real_power_spectrum():
+    rng = np.random.default_rng(3)
+    from audio_analysis_tpu.ops.mxfft import irfft_mx_at
+
+    n = 4096
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    power = (spec * np.conj(spec)).real
+    ref = np.fft.irfft(power, n, axis=-1)[..., :241]  # autocorrelation lags
+    with _cpu():
+        got = np.asarray(
+            irfft_mx_at(jnp.asarray(power.astype(np.float32)), n, np.arange(241))
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-2 * np.abs(ref).max())
+
+
+def test_diffusion_mx_matches_xla():
+    """The engine's mx diffusion path (matmul rfft + lag-cropped synthesis
+    irfft) matches the XLA FFT path bit-for-bit-ish on the same frames."""
+    from audio_analysis_tpu.ops.diffusion import (
+        diffusion_metrics,
+        stereo_diffusion_metrics,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 1 << 15
+    x = (rng.standard_normal((2, n)) * np.exp(-np.arange(n) / 6000)[None]).astype(
+        np.float32
+    )
+    y = (rng.standard_normal((2, n)) * np.exp(-np.arange(n) / 6000)[None]).astype(
+        np.float32
+    )
+    l = jnp.full((2,), n, jnp.int32)
+    win, hop, max_lag = 2400, 2400, 240
+
+    with _cpu():
+        a = diffusion_metrics(jnp.asarray(x), l, win, hop, max_lag, 48000, 1.0, True, "xla")
+        b = diffusion_metrics(jnp.asarray(x), l, win, hop, max_lag, 48000, 1.0, True, "mx")
+        sa = stereo_diffusion_metrics(jnp.asarray(x), jnp.asarray(y), l, win, hop, max_lag, "xla")
+        sb = stereo_diffusion_metrics(jnp.asarray(x), jnp.asarray(y), l, win, hop, max_lag, "mx")
+
+    for pa, pb in ((a, b), (sa, sb)):
+        for name, va in pa._asdict().items():
+            vb = getattr(pb, name)
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5, err_msg=name
+            )
