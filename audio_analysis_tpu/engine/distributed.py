@@ -116,6 +116,8 @@ def analyze_bundle_multi_host(
     # Same shard_map caveat as engine.mesh: the Pallas EDC does not carry
     # vma metadata under shard_map; the jnp EDC is numerically equivalent.
     config = dataclasses.replace(config, use_pallas_edc=False)
+    if config.stft_fft_impl == "pallas":
+        config = dataclasses.replace(config, stft_fft_impl="mx")
 
     bundle_root = Path(bundle_root)
     process_id = jax.process_index()

@@ -96,12 +96,16 @@ def analyze_batch_sharded(
     Padded taps (to make B divisible by the mesh) are trimmed from the
     per-tap outputs and excluded from aggregates.
     """
-    # The Pallas EDC kernel doesn't participate in shard_map (vma metadata
-    # is unsupported for pallas outputs in this jax version, and virtual CPU
-    # meshes can't lower the TPU kernel) — the jnp EDC is equivalent.
+    # Pallas kernels don't participate in shard_map (vma metadata is
+    # unsupported for pallas outputs in this jax version, and virtual CPU
+    # meshes can't lower TPU kernels) — the jnp EDC and the mx STFT are
+    # numerically equivalent stand-ins.
     import dataclasses
 
-    config = dataclasses.replace(config, use_pallas_edc=False)
+    replacements = {"use_pallas_edc": False}
+    if config.stft_fft_impl == "pallas":
+        replacements["stft_fft_impl"] = "mx"
+    config = dataclasses.replace(config, **replacements)
 
     n_shards = mesh.shape["taps"]
     batch = np.asarray(batch)
