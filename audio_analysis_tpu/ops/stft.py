@@ -79,12 +79,23 @@ def _frame_rfft(frames: jnp.ndarray, fft_impl: str) -> jnp.ndarray:
     return jnp.fft.rfft(frames, axis=-1)
 
 
-def _pallas_stft_available(n_fft: int, hop: int) -> bool:
-    import jax as _jax
+def _linear_magnitude(
+    x: jnp.ndarray, n_fft: int, hop: int, use_hann_window: bool, fft_impl: str
+) -> jnp.ndarray:
+    """Un-floored |STFT| via the selected implementation. "pallas" uses the
+    fused VMEM kernel when the default backend is TPU and the shape
+    qualifies, else falls back to "mx" (numerically equivalent)."""
+    if fft_impl == "pallas":
+        from audio_analysis_tpu.ops import pallas_stft
 
-    from audio_analysis_tpu.ops import pallas_stft
-
-    return pallas_stft.supports(n_fft, hop) and _jax.default_backend() == "tpu"
+        if pallas_stft.supports(n_fft, hop) and jax.default_backend() == "tpu":
+            return pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window)
+        fft_impl = "mx"
+    window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
+        (n_fft,), dtype=jnp.float32
+    )
+    frames = frame_signal(x, n_fft, hop) * window
+    return jnp.abs(_frame_rfft(frames, fft_impl)).astype(jnp.float32)
 
 
 @partial(
@@ -107,20 +118,9 @@ def stft_magnitude(
     convert to dB once after aggregation — skipping two transcendental
     passes over the full (T, F) plane.
     """
-    if fft_impl == "pallas" and _pallas_stft_available(n_fft, hop):
-        from audio_analysis_tpu.ops import pallas_stft
-
-        mag = pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window)
-        mag = jnp.maximum(mag, floor_lin)
-    else:
-        if fft_impl == "pallas":
-            fft_impl = "mx"  # CPU/virtual-mesh fallback, numerically equal
-        window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
-            (n_fft,), dtype=jnp.float32
-        )
-        frames = frame_signal(x, n_fft, hop) * window
-        spectrum = _frame_rfft(frames, fft_impl)
-        mag = jnp.maximum(jnp.abs(spectrum).astype(jnp.float32), floor_lin)
+    mag = jnp.maximum(
+        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl), floor_lin
+    )
 
     t = mag.shape[-2]
     frame_valid = jnp.arange(t, dtype=jnp.int32) * hop + n_fft <= length[..., None]
@@ -148,23 +148,9 @@ def stft_mag_db(
     to floor_db, plus the per-element valid frame count
     (= 1 + (length - n_fft)//hop, clipped at 0).
     """
-    if fft_impl == "pallas" and _pallas_stft_available(n_fft, hop):
-        from audio_analysis_tpu.ops import pallas_stft
-
-        mag_db = db_from_magnitude(
-            pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window),
-            floor_db,
-        )
-    else:
-        if fft_impl == "pallas":
-            fft_impl = "mx"  # CPU/virtual-mesh fallback, numerically equal
-        window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
-            (n_fft,), dtype=jnp.float32
-        )
-
-        frames = frame_signal(x, n_fft, hop) * window
-        spectrum = _frame_rfft(frames, fft_impl)
-        mag_db = db_from_magnitude(jnp.abs(spectrum).astype(jnp.float32), floor_db)
+    mag_db = db_from_magnitude(
+        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl), floor_db
+    )
 
     t = mag_db.shape[-2]
     frame_valid = (
