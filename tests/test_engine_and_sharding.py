@@ -212,3 +212,35 @@ def test_engine_octave_band_mode_matches_module(tap_batch):
             assert engine_ok == (module_rt is not None), name
             if module_rt is not None:
                 assert abs(out["band_t30_rt60"][1, 0, bi] - module_rt) / module_rt < 0.01
+
+
+def test_engine_matches_diffusion_and_modal_modules(tap_batch):
+    """Cross-validate the two engine blocks without direct module checks
+    elsewhere: diffusion medians (engine default = mx FFT + lag-cropped
+    inverse) and the modal-cloud median RT60."""
+    from audio_analysis_tpu.analyses import diffusion, modalcloud
+
+    batch, lengths = tap_batch
+    out = analyze_bundle(batch, lengths, EngineConfig(), chunk_taps=8)
+
+    # engine diffusion uses the report defaults (hop = window = 50 ms,
+    # max lag 5 ms, report.py:360-361)
+    ds = diffusion.DiffusionAnalysisSettings(
+        window_seconds=0.05, hop_seconds=0.05, max_lag_milliseconds=5.0
+    )
+    d = diffusion.analyse_diffusion_for_channel(batch[3, 0], SR, "left", ds)
+    mod_ac = float(np.nanmedian(d.series.max_abs_autocorr))
+    mod_ed = float(np.nanmedian(d.series.echo_density))
+    assert abs(out["diff_median_autocorr"][3, 0] - mod_ac) < max(0.02 * mod_ac, 5e-3)
+    assert abs(out["diff_median_echo_density"][3, 0] - mod_ed) < max(0.02 * mod_ed, 5e-3)
+
+    m = modalcloud.analyse_modal_cloud_for_channel(
+        batch[3, 0], SR, "left", modalcloud.ModalCloudAnalysisSettings()
+    )
+    mod_rt = [p.rt60_seconds for p in m.points]
+    assert len(mod_rt) > 0
+    module_median = float(np.median(mod_rt))
+    eng_count = int(out["modal_count"][3, 0])
+    eng_median = float(out["modal_median_rt60"][3, 0])
+    assert abs(eng_count - len(mod_rt)) <= max(2, 0.05 * len(mod_rt))
+    assert abs(eng_median - module_median) < max(0.05 * module_median, 0.02)
