@@ -13,7 +13,10 @@ over HBM with no data-dependent layout beats the sort at these shapes,
 and the result is exact to the bit.
 
 Matches np.nanpercentile(x[valid], q, interpolation="linear") — the
-group_delay summary contract (group_delay.py:210-220).
+group_delay summary contract (group_delay.py:210-220) — with one documented
+deviation: ±inf is excluded like NaN (np.nanpercentile keeps infinities as
+extreme values). Group-delay values are always finite, so this never bites
+the contract; excluding inf keeps the lo/hi interpolation free of inf-inf.
 """
 
 from __future__ import annotations
@@ -23,18 +26,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_SIGN = jnp.uint32(0x80000000)
-_INVALID = jnp.uint32(0xFFFFFFFF)  # sorts past every finite key (= NaN bits, excluded)
+# Plain Python ints, cast inside the jitted bodies: module-level jnp
+# constants would initialise the default (TPU) backend at import time and
+# break device-free imports (the MULTICHIP_r02 failure).
+_SIGN = 0x80000000
+_INVALID = 0xFFFFFFFF  # sorts past every finite key (= NaN bits, excluded)
 
 
 def _f32_to_ordered_u32(x: jnp.ndarray) -> jnp.ndarray:
     """Monotonic bijection f32 -> uint32: a <= b  <=>  key(a) <= key(b)."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    return jnp.where(bits >= _SIGN, ~bits, bits | _SIGN)
+    sign = jnp.uint32(_SIGN)
+    return jnp.where(bits >= sign, ~bits, bits | sign)
 
 
 def _ordered_u32_to_f32(key: jnp.ndarray) -> jnp.ndarray:
-    bits = jnp.where(key >= _SIGN, key ^ _SIGN, ~key)
+    sign = jnp.uint32(_SIGN)
+    bits = jnp.where(key >= sign, key ^ sign, ~key)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
@@ -77,7 +85,7 @@ def masked_percentiles(
     `valid`=False; rows with no valid element return NaN.
     """
     ok = valid & jnp.isfinite(x)
-    keys = jnp.where(ok, _f32_to_ordered_u32(x), _INVALID)
+    keys = jnp.where(ok, _f32_to_ordered_u32(x), jnp.uint32(_INVALID))
     n_valid = ok.sum(axis=-1)  # (...,)
 
     qarr = jnp.asarray(qs, jnp.float32) / 100.0
