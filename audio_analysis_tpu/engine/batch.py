@@ -325,7 +325,7 @@ def analyze_batch(
                 stft_floor_lin,
                 config.stft_fft_impl,
             )
-            return st.num_frames, jnp.max(st.mag_db, axis=(-2, -1))
+            return st.num_frames, jnp.max(st.mag, axis=(-2, -1))
 
         num_frames, global_max_lin = jax.lax.map(stft_one, (aligned.samples, aligned.length))
         out["stft_num_frames"] = num_frames
@@ -354,9 +354,9 @@ def analyze_batch(
             )
             # bin means in LINEAR magnitude (one matmul), dB once at the end
             binned = jax.lax.dot_general(
-                stm1.mag_db,  # linear magnitude from stft_magnitude
+                stm1.mag,
                 bin_matrix_dev.T,
-                dimension_numbers=(((stm1.mag_db.ndim - 1,), (0,)), ((), ())),
+                dimension_numbers=(((stm1.mag.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             curves1 = jnp.swapaxes(

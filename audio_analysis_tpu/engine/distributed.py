@@ -58,15 +58,24 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def _tap_frame_count(path: Path) -> int:
-    """Frames in a tap WAV from the header only (native probe or pure-Python)."""
+def _tap_frame_count(path: Path, expected_rate_hz: int) -> int:
+    """
+    Frames in a tap WAV from the header only (native probe or pure-Python),
+    validating the sample rate against the bundle's — every tap is probed on
+    every process, so a wrong-rate tap raises identically on the native and
+    load_wav_file decode branches (it would otherwise be silently analyzed
+    at the bundle rate on the native fast path).
+    """
     from audio_analysis_tpu.io import native
     from audio_analysis_tpu.io.wav import read_wav_header_info
 
     if native.available():
-        frames, _, _ = native.read_wav_info(path)
-        return int(frames)
-    return read_wav_header_info(path)[0]
+        frames, _, rate = native.read_wav_info(path)
+    else:
+        frames, _, rate = read_wav_header_info(path)
+    if rate != expected_rate_hz:
+        raise ValueError(f"Tap {path} sample rate {rate} != bundle {expected_rate_hz}")
+    return int(frames)
 
 
 def _bundle_aggregates(t30_rt60, t30_ok, early10_time, early10_ok, valid_rows):
@@ -138,7 +147,9 @@ def analyze_bundle_multi_host(
 
     # Globally-consistent padded length from headers only (no decode).
     tap_paths = [bundle_root / "taps" / f"{t}.wav" for t in names]
-    n_max = _round_up(max(_tap_frame_count(p) for p in tap_paths), pad_multiple)
+    n_max = _round_up(
+        max(_tap_frame_count(p, meta.sample_rate_hz) for p in tap_paths), pad_multiple
+    )
 
     # Contiguous tap blocks per device; this process owns its devices' rows.
     my_rows = [

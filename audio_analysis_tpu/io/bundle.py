@@ -25,6 +25,7 @@ from audio_analysis_tpu.io.wav import (
     duplicate_mono_to_stereo,
     ensure_2d_channel_array,
     load_wav_file,
+    wav_is_plain_pcm16,
     write_wav_pcm16,
 )
 
@@ -166,11 +167,13 @@ def open_bundle_chunks_i16(
     Chunked PCM16 fast path for pipelined decode: returns
     (meta, lengths (B,) int32, names, n_max, loader) where loader(lo, hi)
     decodes taps [lo, hi) into a planar (hi-lo, 2, n_max) int16 chunk with
-    the native threaded decoder. Header-probes every tap up front (cheap) so the
-    padded shape is fixed before any PCM is read; callers can then decode
-    chunk k+1 on a worker thread while chunk k is uploading/dispatching.
-    Returns None when the native library is missing or any tap is not plain
-    PCM16 (use the batch loaders then).
+    the native threaded decoder. Header-probes every tap up front (cheap) so
+    the padded shape is fixed — and every tap's format is vetted as plain
+    PCM16 — before any PCM is read; callers can then decode chunk k+1 on a
+    worker thread while chunk k is uploading/dispatching. Returns None when
+    the native library is missing or ANY tap is not plain PCM16 (use the
+    batch loaders then), so a mixed-format bundle can never raise
+    mid-pipeline from loader().
     """
     if not native.available():
         return None
@@ -196,9 +199,10 @@ def open_bundle_chunks_i16(
         chunk_i16, _chunk_lengths = result
         return chunk_i16
 
-    # probe one tap so a non-PCM16 bundle is detected up front (the caller
-    # then falls back to the f32 batch loader before any pipelining starts)
-    if paths and native.read_bundle_planar_i16(paths[:1], n_max, 2, 1) is None:
+    # header-only format vet of EVERY tap, so a mixed-format bundle (first
+    # tap PCM16, later tap float) falls back to the f32 batch loader up
+    # front instead of raising from loader() mid-pipeline
+    if not all(wav_is_plain_pcm16(p) for p in paths):
         return None
 
     return meta, np.asarray(lengths, np.int32), meta.taps, n_max, loader

@@ -164,6 +164,43 @@ def read_wav_header_info(path: str | Path) -> Tuple[int, int, int]:
         return int(frames), int(channels), int(sample_rate)
 
 
+def wav_is_plain_pcm16(path: str | Path) -> bool:
+    """
+    Header-only check that a WAV holds plain PCM16 samples — the exact
+    condition the native planar-i16 decoder accepts (cpp/audioio.cpp:131,
+    including WAVE_FORMAT_EXTENSIBLE whose GUID resolves to PCM). Used to
+    vet every bundle tap before committing to the pipelined int16 path, so
+    a mixed-format bundle falls back to the float32 loader up front instead
+    of raising mid-pipeline.
+    """
+    import struct
+
+    try:
+        with open(Path(path), "rb") as f:
+            riff = f.read(12)
+            if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                return False
+            while True:
+                header = f.read(8)
+                if len(header) < 8:
+                    return False
+                chunk_id, chunk_size = header[:4], struct.unpack("<I", header[4:])[0]
+                if chunk_id == b"fmt ":
+                    if chunk_size < 16 or chunk_size > 65536:
+                        return False
+                    fmt = f.read(chunk_size)
+                    if len(fmt) < 16:
+                        return False
+                    (format_tag,) = struct.unpack("<H", fmt[:2])
+                    (bits,) = struct.unpack("<H", fmt[14:16])
+                    if format_tag == 0xFFFE and chunk_size >= 40:
+                        (format_tag,) = struct.unpack("<H", fmt[24:26])
+                    return format_tag == 1 and bits == 16
+                f.seek(chunk_size + (chunk_size & 1), 1)
+    except OSError:
+        return False
+
+
 _RAW_CACHE: dict = {}
 _RAW_CACHE_MAX = 4
 

@@ -25,9 +25,14 @@ from audio_analysis_tpu.ops.common import db_from_magnitude
 
 
 class StftResult(NamedTuple):
-    mag_db: jnp.ndarray  # (..., T, F) float32
+    mag_db: jnp.ndarray  # (..., T, F) float32, dB
     num_frames: jnp.ndarray  # (...,) int32 frames fully inside the valid length
     # Static helpers (host-known): frame count T and bin count F are shapes.
+
+
+class StftLinearResult(NamedTuple):
+    mag: jnp.ndarray  # (..., T, F) float32, LINEAR magnitude (not dB)
+    num_frames: jnp.ndarray  # (...,) int32 frames fully inside the valid length
 
 
 def num_frames_static(n: int, n_fft: int, hop: int) -> int:
@@ -110,7 +115,7 @@ def stft_magnitude(
     use_hann_window: bool = True,
     floor_lin: float = 0.0,
     fft_impl: str = "xla",
-) -> StftResult:
+) -> StftLinearResult:
     """
     Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
     invalid frames zeroed. Consumers that aggregate in linear magnitude
@@ -126,7 +131,7 @@ def stft_magnitude(
     frame_valid = jnp.arange(t, dtype=jnp.int32) * hop + n_fft <= length[..., None]
     mag = jnp.where(frame_valid[..., None], mag, 0.0)
     num_frames = jnp.sum(frame_valid, axis=-1).astype(jnp.int32)
-    return StftResult(mag, num_frames)
+    return StftLinearResult(mag, num_frames)
 
 
 @partial(

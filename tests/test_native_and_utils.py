@@ -124,6 +124,27 @@ class TestNativeLoader:
         wavfile.write(str(p), SR, (x * 32767).astype(np.int16))
         assert read_wav_header_info(p) == (1234, 2, SR)
 
+    def test_mixed_format_bundle_falls_back_from_i16_pipeline(self, tmp_path):
+        # A bundle whose FIRST tap is PCM16 but a later tap is IEEE-float
+        # must be rejected by the pipelined i16 opener up front (None ->
+        # caller uses the f32 loader) instead of raising mid-pipeline.
+        from audio_analysis_tpu.io.bundle import open_bundle_chunks_i16, write_bundle
+        from audio_analysis_tpu.io.wav import wav_is_plain_pcm16, write_wav_float32
+
+        rng = np.random.default_rng(9)
+        taps = {
+            "a_pcm16": rng.standard_normal((2000, 2)).astype(np.float32) * 0.5,
+            "b_float": rng.standard_normal((2000, 2)).astype(np.float32) * 0.5,
+        }
+        write_bundle(tmp_path, taps, SR)
+        assert wav_is_plain_pcm16(tmp_path / "taps" / "a_pcm16.wav")
+
+        # overwrite the SECOND tap (sorted order) as float32
+        write_wav_float32(tmp_path / "taps" / "b_float.wav", taps["b_float"], SR)
+        assert not wav_is_plain_pcm16(tmp_path / "taps" / "b_float.wav")
+
+        assert open_bundle_chunks_i16(tmp_path) is None
+
 
 def test_json_emission_roundtrip(tmp_path):
     from audio_analysis_tpu.analyses import decay
