@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
-from audio_analysis_tpu.ops import dbfit, edc
+from audio_analysis_tpu.ops import dbfit, edc, transport
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
     decimate_minmax,
@@ -120,26 +120,29 @@ def analyse_decay_channels(
 
     c0 = dbfit.crossing_time(curve.edc_db, curve.length, 0.0, sample_rate_hz)
     c10 = dbfit.crossing_time(curve.edc_db, curve.length, -10.0, sample_rate_hz)
-    c0_found, c0_t = np.asarray(c0.found), np.asarray(c0.time_seconds)
-    c10_found, c10_t = np.asarray(c10.found), np.asarray(c10.time_seconds)
 
     plan = []
     if settings.compute_edt:
         plan.append(("EDT", settings.edt_range_db))
     plan.append(("T20", settings.t20_range_db))
     plan.append(("T30", settings.t30_range_db))
-    kernel_fits = [
-        (
-            name,
-            range_db,
-            dbfit.fit_decay_slope_over_db_range(
-                curve.edc_db, curve.length, range_db, settings.fit_lower_limit_db, sample_rate_hz
-            ),
+    fits_dev = [
+        dbfit.fit_decay_slope_over_db_range(
+            curve.edc_db, curve.length, range_db, settings.fit_lower_limit_db, sample_rate_hz
         )
-        for name, range_db in plan
+        for _, range_db in plan
     ]
 
-    edc_host = np.asarray(curve.edc_db)  # (C, N)
+    # ONE packed device->host transfer for crossings + every fit field +
+    # the EDC curve (the per-field fetches here were 33 relay round-trips)
+    c0, c10, fits_host, edc_host = transport.fetch_packed_tree(
+        (c0, c10, fits_dev, curve.edc_db)
+    )
+    c0_found, c0_t = c0.found, c0.time_seconds
+    c10_found, c10_t = c10.found, c10.time_seconds
+    kernel_fits = [
+        (name, range_db, fit) for (name, range_db), fit in zip(plan, fits_host)
+    ]
 
     results = []
     for i, channel_name in enumerate(dsp.channel_names):

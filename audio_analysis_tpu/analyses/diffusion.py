@@ -26,7 +26,7 @@ from audio_analysis_tpu.analyses._common import (
     suffixed_png,
 )
 from audio_analysis_tpu.ops import diffusion as dops
-from audio_analysis_tpu.ops import trim
+from audio_analysis_tpu.ops import transport, trim
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
     finalize_and_show_or_save,
@@ -92,10 +92,12 @@ def analyse_diffusion_channels(
         float(settings.echo_density_threshold_rms),
         bool(settings.echo_density_normalise_to_gaussian),
     )
-    num_frames = np.asarray(r.num_frames)
-    time_seconds = np.asarray(r.time_seconds)
-    autocorr = np.asarray(r.max_abs_autocorr)
-    echo = np.asarray(r.echo_density)
+    # one packed fetch for the whole result (ops/transport)
+    r = transport.fetch_packed_tree(r)
+    num_frames = r.num_frames
+    time_seconds = r.time_seconds
+    autocorr = r.max_abs_autocorr
+    echo = r.echo_density
 
     results = []
     for i, channel_name in enumerate(dsp.channel_names):

@@ -196,7 +196,7 @@ def plot_frequency_response_figure(
     axis.set_xscale("log")
     axis.set_xticks([20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000])
     axis.xaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
-    axis.xaxis.set_minor_formatter(mticker.NullFormatter())
+    axis.xaxis.set_minor_locator(mticker.NullLocator())  # majors carry the scale
     axis.set_xlabel("Frequency (Hz)")
     label_decibel_axis(axis)
 

@@ -173,7 +173,7 @@ def render_group_delay_plots(
         ax.set_xlabel("Frequency (Hz)")
         ax.set_ylabel("Group delay (samples)")
         ax.xaxis.set_major_formatter(mticker.ScalarFormatter())
-        ax.xaxis.set_minor_formatter(mticker.NullFormatter())
+        ax.xaxis.set_minor_locator(mticker.NullLocator())  # majors carry the scale
         if plot_settings.show_zero_line:
             ax.axhline(0.0, linestyle="--", linewidth=1.0)
         if plot_settings.ylim_samples is not None:

@@ -21,7 +21,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
-from audio_analysis_tpu.ops import dbfit, logfreq, stft
+from audio_analysis_tpu.ops import dbfit, logfreq, stft, transport
 from audio_analysis_tpu.plot import (
     apply_log_hz_xaxis,
     create_figure_and_axis,
@@ -158,10 +158,11 @@ def analyse_modal_cloud_channels(
         min_points=int(settings.min_fit_points),
     )
 
-    peak_host = np.asarray(peak)[:, :, 0]
-    ok = np.asarray(fit.ok)
-    rt60 = np.asarray(fit.rt60_seconds)
-    r2 = np.asarray(fit.r_squared)
+    # one packed fetch for all four result planes (ops/transport)
+    peak_host, ok, rt60, r2 = transport.fetch_packed_tree(
+        (peak, fit.ok, fit.rt60_seconds, fit.r_squared)
+    )
+    peak_host = peak_host[:, :, 0]
 
     reliable = (
         ok

@@ -24,7 +24,7 @@ import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
 from audio_analysis_tpu.analyses.decay import DecayAnalysisSettings
-from audio_analysis_tpu.ops import dbfit, edc, fftmask, trim
+from audio_analysis_tpu.ops import dbfit, edc, fftmask, transport, trim
 from audio_analysis_tpu.ops.fftmask import BandDefinition
 from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
 
@@ -131,19 +131,28 @@ def analyse_rt60_bands_channels(
         smoothing_window_samples=ds.edc_smoothing_window_samples,
     )
 
-    def run_fit(range_db: Tuple[float, float]) -> np.ndarray:
+    def fit_dev(range_db: Tuple[float, float]):
         fit = dbfit.fit_decay_slope_over_db_range(
             curve.edc_db, curve.length, range_db, ds.fit_lower_limit_db, sample_rate_hz
         )
-        rt = np.asarray(fit.rt60_seconds)  # (C, bands)
-        ok = np.asarray(fit.ok)
+        return fit.rt60_seconds, fit.ok  # (C, bands) each
+
+    fits = {"t30": fit_dev(ds.t30_range_db)}
+    if settings.include_t20:
+        fits["t20"] = fit_dev(ds.t20_range_db)
+    if settings.include_edt:
+        fits["edt"] = fit_dev(ds.edt_range_db)
+
+    # one packed fetch for every fit plane + the aligned lengths
+    fits, seg_len = transport.fetch_packed_tree((fits, aligned.length))
+
+    def masked(key: str):
+        if key not in fits:
+            return None
+        rt, ok = fits[key]
         return np.where(ok, rt, np.nan)
 
-    t30 = run_fit(ds.t30_range_db)
-    t20 = run_fit(ds.t20_range_db) if settings.include_t20 else None
-    edt = run_fit(ds.edt_range_db) if settings.include_edt else None
-
-    seg_len = np.asarray(aligned.length)  # (C, bands)
+    t30, t20, edt = masked("t30"), masked("t20"), masked("edt")
 
     results = []
     for c, channel_name in enumerate(dsp.channel_names):

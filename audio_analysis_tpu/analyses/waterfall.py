@@ -239,6 +239,30 @@ def analyse_waterfall_from_wav_file(
     return analyse_waterfall_channels(dsp, settings)
 
 
+def _pool_slices_log_f(
+    frequency_hz: np.ndarray,
+    slices_db: np.ndarray,
+    f_min: float,
+    f_max: float,
+    buckets: int = 384,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Max-pool (num_slices, F) ridge planes onto <= `buckets` log-f columns.
+    Peaks survive (max), and 384 log buckets exceed the ~820 px the log
+    axis can resolve. Returns the input unchanged when already small.
+    """
+    n = int(frequency_hz.size)
+    if n <= 2 * buckets:
+        return frequency_hz, slices_db
+    edges = np.logspace(np.log10(max(1e-9, f_min)), np.log10(f_max), buckets + 1)
+    idx = np.searchsorted(frequency_hz, edges[:-1]).clip(0, n - 1)
+    # drop duplicate bucket starts (sub-bin buckets at low f)
+    idx = np.unique(idx)
+    pooled = np.maximum.reduceat(slices_db, idx, axis=1)
+    centres = frequency_hz[idx]
+    return centres, pooled
+
+
 def plot_waterfall_figure(
     result: ChannelWaterfallResult,
     analysis_settings: WaterfallAnalysisSettings,
@@ -251,6 +275,13 @@ def plot_waterfall_figure(
     f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
     dyn = float(max(10.0, analysis_settings.dynamic_range_db))
 
+    # Display decimation: pool the ~1700 STFT bins onto log-f buckets (max
+    # keeps peaks) before drawing. Agg pays per 3D quad / line vertex, and
+    # a 10in-wide axis resolves nowhere near bin density.
+    freq_hz, slices_db = _pool_slices_log_f(
+        result.frequency_hz, result.slice_magnitude_rel_db, f_min, f_max
+    )
+
     if style == "2d":
         figure, axis = create_figure_and_axis(title=title)
         axis.set_xlabel("Frequency (Hz)")
@@ -261,13 +292,13 @@ def plot_waterfall_figure(
         num_slices = int(result.slice_times_seconds.size)
         for i in range(num_slices):
             axis.plot(
-                result.frequency_hz,
-                result.slice_magnitude_rel_db[i] - i * ridge_offset,
+                freq_hz,
+                slices_db[i] - i * ridge_offset,
                 alpha=0.9,
             )
         for idx in (0, num_slices // 2, num_slices - 1):
             axis.text(
-                float(result.frequency_hz[0]),
+                float(freq_hz[0]),
                 -float(idx) * ridge_offset,
                 f"{float(result.slice_times_seconds[idx]):.2f}s",
                 fontsize=9,
@@ -286,12 +317,12 @@ def plot_waterfall_figure(
     if title:
         axis.set_title(title)
 
-    x_log = np.log10(result.frequency_hz.astype(np.float64))
+    x_log = np.log10(freq_hz.astype(np.float64))
     mesh_x, mesh_y = np.meshgrid(x_log, result.slice_times_seconds.astype(np.float64))
     axis.plot_surface(
         mesh_x,
         mesh_y,
-        result.slice_magnitude_rel_db.astype(np.float64),
+        slices_db.astype(np.float64),
         cmap="viridis",
         alpha=0.8,
         antialiased=True,

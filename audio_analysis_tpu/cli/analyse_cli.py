@@ -174,6 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bands", dest="band_mode", type=str, default="three",
                    choices=["three", "octave", "third"],
                    help="RT60 band mode for the engine fast path (rt60bands.py band modes).")
+    p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
+                   help="Render figures on a process pool of this many workers "
+                        "(multi-core hosts); 0 = single render thread.")
 
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
@@ -735,10 +738,9 @@ def main(argv=None) -> None:
                 reports_subdir=str(args.reports_subdir),
                 resume=bool(args.resume),
                 report_settings=ReportSettings(
-                    common_use_mono_downmix_for_stereo=bool(args.use_mono_downmix)
-                )
-                if args.use_mono_downmix
-                else None,
+                    common_use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                    plot_processes=int(getattr(args, "plot_processes", 0)),
+                ),
             ),
         )
         print(f"Wrote bundle report index: {index}")

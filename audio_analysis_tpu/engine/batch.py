@@ -539,6 +539,7 @@ def analyze_bundle_pipelined(
     chunk_taps: int = 16,
     channels: int = 2,
     mesh=None,
+    timings: "Dict[str, float] | None" = None,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -572,13 +573,18 @@ def analyze_bundle_pipelined(
         def dispatch(cb, cl):
             return analyze_batch_flat(jnp.asarray(cb), jnp.asarray(cl), config)
 
+    import time as _time
+
+    decode_wait_s = dispatch_s = 0.0
     flats = []
     takes = []
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(loader, 0, min(b, chunk))
         for lo in range(0, b, chunk):
             hi = min(b, lo + chunk)
+            t0 = _time.perf_counter()
             cb = fut.result()
+            decode_wait_s += _time.perf_counter() - t0
             if hi < b:
                 fut = ex.submit(loader, hi, min(b, hi + chunk))
             if spec is None:
@@ -591,11 +597,25 @@ def analyze_bundle_pipelined(
                     [cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0
                 )
                 cl = np.concatenate([cl, np.full(pad, n_max // 2, np.int32)])
+            t0 = _time.perf_counter()
             flats.append(dispatch(cb, cl))
+            dispatch_s += _time.perf_counter() - t0
             takes.append(take)
 
+    t0 = _time.perf_counter()
+    fetched = fetch_packed(flats, spec)
+    fetch_s = _time.perf_counter() - t0
+    if timings is not None:
+        # decode_wait = time the pipeline actually BLOCKED on WAV decode
+        # (decode overlapped with device work doesn't show up here);
+        # dispatch = h2d upload + trace/dispatch; fetch = the one packed
+        # device->host metric copy (includes waiting out device compute).
+        timings["decode_wait_s"] = round(decode_wait_s, 4)
+        timings["h2d_dispatch_s"] = round(dispatch_s, 4)
+        timings["fetch_s"] = round(fetch_s, 4)
+
     chunks = []
-    for res, take in zip(fetch_packed(flats, spec), takes):
+    for res, take in zip(fetched, takes):
         if take < chunk:
             res = {k: v[:take] for k, v in res.items()}
         chunks.append(res)

@@ -78,6 +78,19 @@ class PlotWorker:
         self._thread.join(timeout=60)
 
 
+def make_plot_worker(overlap_enabled: bool, processes: int = 0):
+    """
+    The report/bundle plot-worker factory: a spawn-based process pool when
+    `processes` > 0 (multi-core hosts; see parallel/procpool.py), else the
+    single-thread MaybePlotWorker. Both share the submit/drain contract.
+    """
+    if processes and int(processes) > 0:
+        from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
+
+        return ProcessPlotPool(int(processes))
+    return MaybePlotWorker(overlap_enabled)
+
+
 class BorrowedPlotWorker:
     """
     Context-manager view over a caller-owned worker: submits pass through,

@@ -1,0 +1,96 @@
+"""
+Process-parallel figure rendering.
+
+The thread worker (parallel/overlap.py) overlaps rendering with device
+compute but caps the plot path at ~1 host core (matplotlib is confined to
+one thread). Every render job is a picklable partial of a TOP-LEVEL
+`render_*_plots` function over numpy result dataclasses + frozen settings
+(the signatures in analyses/* were designed for exactly this), so the same
+jobs can fan out over a spawn-based process pool on multi-core hosts.
+
+Workers never touch the accelerator: the render functions are host-only
+(numpy + matplotlib), and importing the package is device-free
+(tests/test_graft_entry.py); the initializer additionally pins JAX to CPU
+as belt-and-braces.
+
+Same submit/drain/drain_collect/close contract as MaybePlotWorker: render
+errors are deferred to drain()/drain_collect(), never raised from submit().
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from concurrent.futures import FIRST_COMPLETED, Future, ProcessPoolExecutor, wait
+from typing import Callable, List, Optional, Tuple
+
+
+def _worker_init() -> None:
+    # Runs in the child before any job: keep jax off the TPU tunnel and
+    # matplotlib on the headless raster backend.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+class ProcessPlotPool:
+    """
+    Fan figure-render jobs over `num_workers` spawn processes.
+
+    Pending jobs are bounded like the thread worker's queue: submitted
+    closures pin their figure inputs (spectrogram planes — tens of MB per
+    tap), so `submit` blocks once `max_pending_jobs` are in flight.
+    """
+
+    def __init__(self, num_workers: int, max_pending_jobs: int = 32) -> None:
+        self._pool = ProcessPoolExecutor(
+            max_workers=max(1, int(num_workers)),
+            mp_context=mp.get_context("spawn"),
+            initializer=_worker_init,
+        )
+        self._max_pending = max(2, max_pending_jobs)
+        self._pending: List[Tuple[Optional[str], Future]] = []
+        self._errors: List[Tuple[Optional[str], BaseException]] = []
+
+    def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
+        while sum(not f.done() for _, f in self._pending) >= self._max_pending:
+            wait([f for _, f in self._pending if not f.done()], return_when=FIRST_COMPLETED)
+        try:
+            future = self._pool.submit(job)
+        except BaseException as exc:  # noqa: BLE001 — pool broken; surfaced in drain()
+            self._errors.append((label, exc))
+            return
+        self._pending.append((label, future))
+
+    def _collect(self) -> None:
+        pending, self._pending = self._pending, []
+        for label, future in pending:
+            exc = future.exception()  # waits for completion
+            if exc is not None:
+                self._errors.append((label, exc))
+
+    def drain(self) -> None:
+        """Block until every submitted job ran; re-raise the first failure."""
+        self._collect()
+        if self._errors:
+            raise self._errors[0][1]
+
+    def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
+        """Block until idle; return (and clear) labeled failures instead of
+        raising — bundle runners keep per-tap failure isolation this way."""
+        self._collect()
+        errors, self._errors = self._errors, []
+        return errors
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True, cancel_futures=True)
+
+    def __enter__(self) -> "ProcessPlotPool":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None:
+                self.drain()
+        finally:
+            self.close()

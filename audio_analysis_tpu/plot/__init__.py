@@ -74,7 +74,13 @@ def finalize_and_show_or_save(
         if output_path is not None:
             target = Path(output_path)
             target.parent.mkdir(parents=True, exist_ok=True)
-            figure.savefig(target, bbox_inches="tight")
+            # Pillow writer at compress level 1: ~2x faster PNG encode than
+            # the default zlib-6 for a few % larger files. Tight bbox kept
+            # (plotting.py:67 contract — same cropped dimensions).
+            try:
+                figure.savefig(target, bbox_inches="tight", pil_kwargs={"compress_level": 1})
+            except TypeError:  # matplotlib without PIL writer support
+                figure.savefig(target, bbox_inches="tight")
         elif show_interactive:
             plt.show()
     finally:
@@ -118,13 +124,16 @@ def apply_log_hz_xaxis(axis: plt.Axes, f_min_hz: float, f_max_hz: float) -> None
     axis.set_xlim(f_min_hz, f_max_hz)
     axis.set_xticks(hz_major_ticks(f_min_hz, f_max_hz))
     axis.xaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
-    axis.xaxis.set_minor_formatter(mticker.NullFormatter())
+    # No minor ticks at all: the explicit Hz majors carry the scale, and the
+    # LogLocator's ~50 minor Tick objects are a measurable share of figure
+    # build time (each Tick constructs lines+markers+text machinery).
+    axis.xaxis.set_minor_locator(mticker.NullLocator())
 
 
 def apply_log_hz_yaxis(axis: plt.Axes) -> None:
     axis.set_yticks(hz_major_ticks(20, 20000))
     axis.yaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
-    axis.yaxis.set_minor_formatter(mticker.NullFormatter())
+    axis.yaxis.set_minor_locator(mticker.NullLocator())
 
 
 def time_axis_from_sample_count(number_of_samples: int, sample_rate_hz: int) -> np.ndarray:
@@ -206,14 +215,30 @@ def log_frequency_image(
     f_min: float,
     f_max: float,
     rows: int = 720,
+    cols: int = 1200,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """
     Resample an (F, T) magnitude plane onto `rows` uniform log10(f) rows by
     max-pooling each row's source-bin range (peaks survive). Returns
-    (image (rows, T), row_edges_log10 (rows+1,)). Rendering the result with
+    (image (rows, T'), row_edges_log10 (rows+1,)). Rendering the result with
     imshow on a log10(f) axis costs O(pixels) where a log-y pcolormesh pays
     per source quad (~4M for a 2^20-sample tap — tens of seconds on Agg).
+
+    Columns are likewise max-pooled to <= ~cols when T exceeds the display
+    width (a 10in @100dpi axes is ~820 px): imshow's rgba conversion pays
+    per source pixel, and max-pooling keeps every transient visible.
     """
+    t = mag_fb_t.shape[1]
+    if cols > 0 and t > cols + cols // 2:
+        k = -(-t // cols)  # ceil
+        nb = -(-t // k)
+        pad = nb * k - t
+        if pad:
+            mag_fb_t = np.concatenate(
+                [mag_fb_t, np.full((mag_fb_t.shape[0], pad), -np.inf, np.float32)], axis=1
+            )
+        mag_fb_t = mag_fb_t.reshape(mag_fb_t.shape[0], nb, k).max(axis=2)
+
     log_lo, log_hi = np.log10(f_min), np.log10(f_max)
     edges = np.logspace(log_lo, log_hi, rows + 1)
     n_bins = mag_fb_t.shape[0]

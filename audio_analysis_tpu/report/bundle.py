@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
 
-from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
+from audio_analysis_tpu.parallel.overlap import make_plot_worker
 from audio_analysis_tpu.report.report import ReportSettings, run_report_from_wav_file
 
 
@@ -65,7 +65,9 @@ def run_bundle_report(
     # while tap k+1's analyses dispatch to the device. Drained (with
     # per-job failure collection) after the loop.
     report_settings = settings.report_settings or ReportSettings()
-    plot_worker = MaybePlotWorker(report_settings.overlap_plotting)
+    plot_worker = make_plot_worker(
+        report_settings.overlap_plotting, report_settings.plot_processes
+    )
 
     try:
         for tap in tap_names:

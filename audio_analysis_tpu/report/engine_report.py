@@ -29,7 +29,11 @@ class EngineBundleSettings:
     reports_subdir: str = "reports"
     use_mono_downmix_for_stereo: bool = False
     config: EngineConfig = EngineConfig()
-    chunk_taps: int = 16
+    # 8 taps/chunk measured fastest warm e2e on one v5e chip (2.89 s vs
+    # 3.18 s at 16 for the 64-tap bench bundle): the modal 8192-FFT
+    # intermediates are the HBM high-water mark, and smaller chunks overlap
+    # uploads with compute at finer grain.
+    chunk_taps: int = 8
     # "auto": shard the tap batch over all local devices when more than one
     # is visible (shard_map over the "taps" mesh — the v5e-8 path);
     # "off": single-device chunked engine.
@@ -96,14 +100,42 @@ def _fit_line(out: Dict[str, np.ndarray], name: str, b: int, c: int) -> str:
     )
 
 
+def _summary_context(config: EngineConfig, sample_rate_hz: int) -> Dict:
+    """Per-bundle constants for format_tap_summary — computed once, not per
+    tap (band labels, waterfall slice policy + display bin count)."""
+    ctx: Dict = {}
+    from audio_analysis_tpu.engine.batch import band_names
+
+    ctx["band_labels"] = band_names(config)
+
+    from audio_analysis_tpu.analyses.waterfall import (
+        WaterfallAnalysisSettings,
+        select_slice_frame_indices,
+    )
+    from audio_analysis_tpu.ops import stft as stft_ops
+
+    wf_settings = WaterfallAnalysisSettings()
+    freq_hz = stft_ops.rfft_freqs_hz(config.n_fft, sample_rate_hz)
+    ctx["wf_settings"] = wf_settings
+    ctx["wf_select"] = select_slice_frame_indices
+    ctx["wf_f_bins"] = int(
+        ((freq_hz >= wf_settings.f_min_hz) & (freq_hz <= wf_settings.f_max_hz)).sum()
+    )
+    ctx["frame_times"] = stft_ops.frame_times_seconds
+    return ctx
+
+
 def format_tap_summary(
     out: Dict[str, np.ndarray],
     b: int,
     channel_names: List[str],
     sample_rate_hz: int,
     config: EngineConfig,
+    ctx: Dict = None,
 ) -> str:
     """All per-tap deterministic summaries in the reference text formats."""
+    if ctx is None:
+        ctx = _summary_context(config, sample_rate_hz)
     md: List[str] = []
 
     if "peak_abs" in out:
@@ -132,9 +164,7 @@ def format_tap_summary(
     md.append("```\n")
 
     if "band_t30_rt60" in out:
-        from audio_analysis_tpu.engine.batch import band_names
-
-        labels = band_names(config)
+        labels = ctx["band_labels"]
         md.append("## RT60 by band\n\n```text")
         for c, ch in enumerate(channel_names):
             md.append(f"[{ch}]")
@@ -180,22 +210,12 @@ def format_tap_summary(
     if "stft_num_frames" in out:
         # waterfall summary derived from the shared STFT (same slice policy
         # as the analyses module: auto mode, 18 slices, 20-20k display band)
-        from audio_analysis_tpu.analyses.waterfall import (
-            WaterfallAnalysisSettings,
-            select_slice_frame_indices,
-        )
-        from audio_analysis_tpu.ops import stft as stft_ops
-
-        wf_settings = WaterfallAnalysisSettings()
-        freq_hz = stft_ops.rfft_freqs_hz(config.n_fft, sample_rate_hz)
-        f_bins = int(
-            ((freq_hz >= wf_settings.f_min_hz) & (freq_hz <= wf_settings.f_max_hz)).sum()
-        )
+        f_bins = ctx["wf_f_bins"]
         md.append("## Waterfall\n\n```text")
         for c, ch in enumerate(channel_names):
             t_frames = int(out["stft_num_frames"][b, c])
-            times = stft_ops.frame_times_seconds(t_frames, config.hop_length, sample_rate_hz)
-            slices = select_slice_frame_indices(times, wf_settings).size
+            times = ctx["frame_times"](t_frames, config.hop_length, sample_rate_hz)
+            slices = ctx["wf_select"](times, ctx["wf_settings"]).size
             seg = int(out["segment_length"][b, c])
             md.append(
                 f"[{ch}] start_sample={int(out['start_index'][b, c])}  "
@@ -291,6 +311,7 @@ def run_bundle_report_engine(
     if downmix_on_device and not config.downmix_to_mono:
         config = replace(config, downmix_to_mono=True)
 
+    phases: Dict[str, float] = {"probe_s": round(load_seconds, 4)}
     start_compute = time.perf_counter()
     if batch is None:
         mesh = None
@@ -299,11 +320,13 @@ def run_bundle_report_engine(
 
             mesh = make_mesh()
         out = analyze_bundle_pipelined(
-            loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh
+            loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh,
+            timings=phases,
         )
     else:
         out = _analyze_possibly_sharded(batch, lengths, config, settings)
     compute_seconds = time.perf_counter() - start_compute
+    phases["compute_total_s"] = round(compute_seconds, 4)
 
     # channel names follow the engine's ACTUAL channel count, so a
     # config-level downmix_to_mono can't desync the summary writer
@@ -322,10 +345,12 @@ def run_bundle_report_engine(
         "\n## Taps\n",
     ]
 
+    start_markdown = time.perf_counter()
+    ctx = _summary_context(config, meta.sample_rate_hz)
     for b, tap in enumerate(names):
         out_dir = reports_root / tap
         out_dir.mkdir(parents=True, exist_ok=True)
-        body = format_tap_summary(out, b, channel_names, meta.sample_rate_hz, config)
+        body = format_tap_summary(out, b, channel_names, meta.sample_rate_hz, config, ctx)
         header = (
             "# Offline Reverb Analysis Report (engine)\n\n"
             f"**Tap:** `{tap}`  \n"
@@ -334,17 +359,21 @@ def run_bundle_report_engine(
         )
         (out_dir / f"{tap}_report.md").write_text(header + body)
         index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{tap}_report.md)")
+    phases["markdown_s"] = round(time.perf_counter() - start_markdown, 4)
 
     # machine-readable dump of every metric
+    start_json = time.perf_counter()
     metrics_json = {
         "taps": names,
         "channels": channel_names,
         "load_seconds": load_seconds,
         "compute_seconds": compute_seconds,
+        "phases": phases,  # json_s lands in the file too (dict aliased)
         # NaN/Infinity are emitted as-is (Python json extension) for
         # unavailable metrics; consumers should parse with the same.
         "metrics": {k: np.asarray(v).tolist() for k, v in out.items()},
     }
+    phases["json_s"] = round(time.perf_counter() - start_json, 4)
     (reports_root / "bundle_metrics.json").write_text(json.dumps(metrics_json, indent=1))
 
     index_path = reports_root / "bundle_report.md"

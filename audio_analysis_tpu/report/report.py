@@ -79,7 +79,11 @@ from audio_analysis_tpu.analyses.waterfall import (
 )
 from audio_analysis_tpu.analyses._common import FileDsp
 from audio_analysis_tpu.io import DEFAULT_EXPECTED_SAMPLE_RATE_HZ, load_wav_file
-from audio_analysis_tpu.parallel.overlap import BorrowedPlotWorker, MaybePlotWorker
+from audio_analysis_tpu.parallel.overlap import (
+    BorrowedPlotWorker,
+    MaybePlotWorker,
+    make_plot_worker,
+)
 from audio_analysis_tpu.utils.timing import BlockTimer
 
 
@@ -101,6 +105,9 @@ class ReportSettings:
     run_echo_density: bool = True  # echo density ships inside the diffusion block
     include_timing_footer: bool = False  # per-block wall-clock table at the end
     overlap_plotting: bool = True  # render figures on a worker thread
+    # >0: render figures on a spawn-based process pool of this many workers
+    # (multi-core hosts; parallel/procpool.py). 0 = the single-thread worker.
+    plot_processes: int = 0
 
     expected_sample_rate_hz: int = DEFAULT_EXPECTED_SAMPLE_RATE_HZ
 
@@ -237,7 +244,7 @@ def run_report_from_wav_file(
     plots_cm = (
         BorrowedPlotWorker(plot_worker, default_label=str(output_basename))
         if plot_worker is not None
-        else MaybePlotWorker(settings.overlap_plotting)
+        else make_plot_worker(settings.overlap_plotting, settings.plot_processes)
     )
     with plots_cm as plots:
         if settings.run_impulse_response_plots:

@@ -223,6 +223,8 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
 
     from audio_analysis_tpu.report.engine_report import run_bundle_report_engine
 
+    import json as json_mod
+
     timings = {}
     for label in ("cold", "warm"):
         runs = 1 if label == "cold" else REPEATS - 1
@@ -231,8 +233,16 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
             shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
             start = time.perf_counter()
             index = run_bundle_report_engine(bundle_root)
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
             assert index.exists()
+            if elapsed < best:
+                best = elapsed
+                # per-phase split of the best warm run (engine_report
+                # instruments probe/decode-wait/h2d/fetch/markdown/json)
+                metrics = json_mod.loads(
+                    (Path(bundle_root) / "reports" / "bundle_metrics.json").read_text()
+                )
+                timings[f"{label}_phases"] = metrics.get("phases", {})
         timings[label] = best
     return timings
 
@@ -258,13 +268,99 @@ def bench_bundle_plots_end_to_end(bundle_root: str) -> float:
     for tap in meta["taps"]:
         (sub / "taps" / f"{tap}.wav").symlink_to(src / "taps" / f"{tap}.wav")
 
+    import os
+
+    from audio_analysis_tpu.report.bundle import BundleRunSettings
+    from audio_analysis_tpu.report.report import ReportSettings
+
+    # multi-core hosts fan figure rendering over a process pool; a single
+    # core keeps the overlap thread (the pool would only add IPC cost)
+    cores = os.cpu_count() or 1
+    plot_processes = min(4, cores) if cores > 1 else 0
+    settings = BundleRunSettings(
+        report_settings=ReportSettings(plot_processes=plot_processes)
+    )
+
     start = time.perf_counter()
-    index = run_bundle_report(sub)
+    index = run_bundle_report(sub, settings)
     elapsed = time.perf_counter() - start
     assert index.exists()
     failed = index.read_text().count("FAILED")
     assert failed == 0, f"{failed} taps failed in the plot-path bench"
-    return elapsed
+    return elapsed, plot_processes
+
+
+_MESH_SCALING_WORKER = r"""
+import json, sys, time
+import numpy as np
+import jax
+
+from audio_analysis_tpu.engine import EngineConfig, analyze_batch_sharded, make_mesh
+
+rows = {}
+for n in (1, 2, 4, 8):
+    mesh = make_mesh(num_devices=n, platform="cpu")
+    batch = 2 * n
+    sr, ns = 48_000, 65_536
+    rng = np.random.default_rng(0)
+    t = np.arange(ns) / sr
+    env = 10.0 ** (-3.0 * t / 0.4)
+    samples = np.zeros((batch, 2, ns), np.float32)
+    samples[:, :, 64:] = (0.05 * rng.standard_normal((batch, 2, ns - 64)) * env[: ns - 64]).astype(np.float32)
+    samples[:, :, 64] = 0.9
+    lengths = np.full(batch, ns, np.int32)
+    config = EngineConfig(use_pallas_edc=False, stft_fft_impl="xla")
+    out = analyze_batch_sharded(mesh, samples, lengths, config)  # compile
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        out = analyze_batch_sharded(mesh, samples, lengths, config)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - start)
+    rows[str(n)] = {"seconds": round(best, 4), "taps": batch,
+                    "taps_per_sec": round(batch / best, 3)}
+print(json.dumps(rows))
+"""
+
+
+def bench_mesh_scaling() -> dict:
+    """
+    Weak-scaling rows for the sharded engine on a VIRTUAL CPU mesh
+    (n_devices in {1,2,4,8}, 2 taps per device): proves the multi-chip
+    program compiles + executes at every mesh size and measures its wall
+    clock. NOTE: virtual devices time-share the host's physical cores, so
+    flat seconds across rows require >= n cores — on a 1-core host the
+    rows grow ~linearly and only correctness is proven (the real-chip
+    compute term for the v5e-8 projection is device_seconds_64taps).
+    """
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    repo_root = str(__import__("pathlib").Path(__file__).resolve().parent)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = os.pathsep.join(filter(None, [env.get("PYTHONPATH", ""), repo_root]))
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_MESH_SCALING_WORKER)
+        path = f.name
+    try:
+        run = subprocess.run(
+            [_sys.executable, path],
+            env=env,
+            cwd=repo_root,
+            capture_output=True,
+            timeout=900,
+        )
+        if run.returncode != 0:
+            return {"error": run.stderr.decode()[-400:]}
+        return json.loads(run.stdout.decode().strip().splitlines()[-1])
+    finally:
+        os.unlink(path)
 
 
 def main() -> None:
@@ -276,7 +372,10 @@ def main() -> None:
 
     bundle_root = _bench_bundle_on_disk()
     e2e = bench_bundle_engine_end_to_end(bundle_root)
-    plots_seconds = bench_bundle_plots_end_to_end(bundle_root)
+    plots_seconds, plot_processes = bench_bundle_plots_end_to_end(bundle_root)
+    mesh_scaling = bench_mesh_scaling()
+
+    import os
 
     import jax
 
@@ -296,11 +395,19 @@ def main() -> None:
                 # engine -> markdown (no plots); warm = steady-state rerun
                 "end_to_end_seconds": round(e2e["cold"], 4),
                 "end_to_end_warm_seconds": round(e2e["warm"], 4),
+                # best-warm-run split: probe/decode-wait/h2d/fetch/markdown
+                "end_to_end_warm_phases": e2e.get("warm_phases", {}),
+                # sharded engine wall-clock on a virtual CPU mesh at
+                # n_devices 1/2/4/8 (weak scaling, 2 taps/device; see
+                # bench_mesh_scaling docstring for the 1-core caveat)
+                "mesh_scaling_virtual_cpu": mesh_scaling,
+                "host_cpu_cores": os.cpu_count(),
                 # full plot-based report path (matplotlib overlapped with
                 # device compute) over PLOT_TAPS taps of the same bundle
                 "plots_end_to_end_seconds": round(plots_seconds, 4),
                 "plots_end_to_end_taps": PLOT_TAPS,
                 "plots_seconds_per_tap": round(plots_seconds / PLOT_TAPS, 4),
+                "plot_processes": plot_processes,
                 # single-threaded float64 NumPy oracle, 5-tap average
                 "cpu_seconds_per_ir": round(cpu_seconds_per_ir, 3),
                 "cpu_baseline": "numpy_f64_single_thread_5tap_avg",

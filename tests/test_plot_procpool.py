@@ -1,0 +1,99 @@
+"""
+The process-pool plot path (ReportSettings.plot_processes > 0) must be a
+pure performance knob: byte-identical markdown and the identical PNG set
+vs the single-thread worker, with render failures still isolated per job.
+Runs in a CPU-only subprocess (the full report path compiles per-module
+programs; small taps keep that cheap).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+_WORKER = r"""
+import json, sys
+from pathlib import Path
+
+from audio_analysis_tpu.report.bundle import BundleRunSettings, run_bundle_report
+from audio_analysis_tpu.report.report import ReportSettings
+
+bundle, out_json = sys.argv[1], sys.argv[2]
+
+results = {}
+for mode, procs in (("thread", 0), ("procs", 2)):
+    run_bundle_report(
+        bundle,
+        BundleRunSettings(
+            reports_subdir=f"reports_{mode}",
+            report_settings=ReportSettings(plot_processes=procs),
+        ),
+    )
+    root = Path(bundle) / f"reports_{mode}"
+    md = {}
+    pngs = {}
+    for p in sorted(root.rglob("*")):
+        rel = str(p.relative_to(root))
+        if p.suffix == ".md":
+            md[rel] = p.read_text()
+        elif p.suffix == ".png":
+            assert p.stat().st_size > 1000, rel
+            pngs[rel] = p.stat().st_size
+    results[mode] = {"md": md, "pngs": sorted(pngs)}
+json.dump(results, open(out_json, "w"))
+print("worker ok")
+"""
+
+
+def test_process_pool_matches_thread_worker(tmp_path):
+    from audio_analysis_tpu.io.bundle import write_bundle
+
+    sr = 48_000
+    n = 16_384
+    rng = np.random.default_rng(21)
+    t = np.arange(n) / sr
+    taps = {}
+    for i, rt60 in enumerate([0.2, 0.3]):
+        env = 10.0 ** (-3.0 * t / rt60)
+        x = np.zeros((n, 2), np.float32)
+        x[64:, :] = (0.05 * rng.standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(
+            np.float32
+        )
+        x[64, :] = 0.9
+        taps[f"tap{i}"] = x
+    bundle = tmp_path / "bundle"
+    write_bundle(bundle, taps, sr)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)]))
+
+    out_json = tmp_path / "out.json"
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    run = subprocess.run(
+        [sys.executable, str(worker), str(bundle), str(out_json)],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        timeout=600,
+    )
+    assert run.returncode == 0, run.stderr.decode()[-3000:]
+
+    results = json.loads(out_json.read_text())
+    # same markdown bytes (ignoring the reports_subdir name in the index)
+    thread_md = {
+        k: v.replace("reports_thread", "R") for k, v in results["thread"]["md"].items()
+    }
+    procs_md = {
+        k: v.replace("reports_procs", "R") for k, v in results["procs"]["md"].items()
+    }
+    assert thread_md == procs_md
+    assert results["thread"]["pngs"] == results["procs"]["pngs"]
+    assert len(results["procs"]["pngs"]) > 0
