@@ -177,6 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
                    help="Render figures on a process pool of this many workers "
                         "(multi-core hosts); 0 = single render thread.")
+    p.add_argument("--multi-host", dest="multi_host", action="store_true",
+                   help="Multi-host engine fast path (text reports): every process "
+                        "analyses the taps its devices own over a shared filesystem; "
+                        "process 0 writes the index. Run one process per host.")
+    p.add_argument("--coordinator", dest="coordinator", type=str, default=None,
+                   help="host:port of the jax.distributed coordinator (with "
+                        "--multi-host when the environment doesn't auto-initialize).")
+    p.add_argument("--num-processes", dest="num_processes", type=int, default=None)
+    p.add_argument("--process-id", dest="process_id", type=int, default=None)
 
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
@@ -713,6 +722,38 @@ def main(argv=None) -> None:
         return
 
     if cmd == "bundle":
+        if bool(getattr(args, "multi_host", False)):
+            from dataclasses import replace as _replace
+
+            import jax
+
+            from audio_analysis_tpu.engine import EngineConfig
+            from audio_analysis_tpu.engine.distributed import run_bundle_report_multi_host
+
+            if getattr(args, "coordinator", None):
+                try:
+                    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+                except Exception:
+                    pass  # gloo is the default for multi-process CPU on newer jax
+                jax.distributed.initialize(
+                    coordinator_address=str(args.coordinator),
+                    num_processes=int(args.num_processes),
+                    process_id=int(args.process_id),
+                )
+
+            index = run_bundle_report_multi_host(
+                str(args.bundle_root),
+                _replace(
+                    EngineConfig(),
+                    band_mode=str(getattr(args, "band_mode", "three")),
+                    downmix_to_mono=bool(args.use_mono_downmix),
+                ),
+                reports_subdir=str(args.reports_subdir),
+            )
+            if index is not None:
+                print(f"Wrote bundle report index: {index}")
+            return
+
         if bool(getattr(args, "no_plots", False)):
             from dataclasses import replace as _replace
 

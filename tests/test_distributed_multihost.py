@@ -116,3 +116,52 @@ def test_two_process_bundle_analysis(tmp_path):
     for name in all_names:
         tap_md = (bundle / "reports" / name / f"{name}_report.md").read_text()
         assert "## Decay / EDC" in tap_md and "## Impulse response" in tap_md
+
+
+def test_two_process_bundle_cli(tmp_path):
+    """`analyse.cli bundle --multi-host` reaches run_bundle_report_multi_host:
+    two CPU processes, per-tap reports written by the owning host, index by
+    process 0 only."""
+    bundle = tmp_path / "bundle"
+    _make_bundle(bundle)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the axon TPU plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)])
+    )
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "analyse.cli", "bundle",
+                "--input", str(bundle),
+                "--multi-host",
+                "--coordinator", coordinator,
+                "--num-processes", "2",
+                "--process-id", str(i),
+            ],
+            env=env,
+            cwd=REPO_ROOT,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"CLI worker failed:\n{log[-4000:]}"
+
+    # only process 0 printed the index line
+    wrote = [log for log in logs if "Wrote bundle report index:" in log]
+    assert len(wrote) == 1, logs
+
+    index_md = (bundle / "reports" / "bundle_report.md").read_text()
+    assert "multi-host" in index_md
+    all_names = [f"tap{i:02d}" for i in range(len(TAP_RT60S))]
+    for name in all_names:
+        tap_md = (bundle / "reports" / name / f"{name}_report.md").read_text()
+        assert "## Decay / EDC" in tap_md
