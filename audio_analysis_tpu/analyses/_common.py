@@ -198,6 +198,29 @@ class FileDsp:
         return self._stft_host[key]
 
 
+def host_aligned_segments(
+    dsp: FileDsp,
+    trim_to_peak: bool,
+    ignore_leading_seconds: float,
+    analysis_duration_seconds: Optional[float] = None,
+) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray]:
+    """
+    Per-channel EXACT-length trimmed segments as float64 host arrays (plus
+    starts, lengths). The `exact_grid` fallbacks (fr/filter/gd) use these to
+    run the reference's exact segment-length FFT grid on the host, for
+    byte-level cross-tool diffing (frequency_response.py:216-218,
+    group_delay.py:103-105).
+    """
+    starts, seg_lens = dsp.aligned_host_meta(
+        trim_to_peak, ignore_leading_seconds, analysis_duration_seconds
+    )
+    segments = [
+        np.asarray(ch[int(s) : int(s) + int(l)], np.float64)
+        for ch, s, l in zip(dsp.host_channels, starts, seg_lens)
+    ]
+    return segments, starts, seg_lens
+
+
 def single_channel_dsp(samples: np.ndarray, sample_rate_hz: int, channel_name: str) -> FileDsp:
     """1-channel FileDsp for the per-channel parity APIs."""
     samples = np.asarray(samples)

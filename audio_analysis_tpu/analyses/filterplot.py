@@ -17,7 +17,12 @@ import matplotlib.pyplot as plt
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.analyses._common import (
+    FileDsp,
+    host_aligned_segments,
+    single_channel_dsp,
+    suffixed_png,
+)
 from audio_analysis_tpu.ops import spectral
 from audio_analysis_tpu.plot import decimate_minmax_log, finalize_and_show_or_save
 
@@ -34,6 +39,9 @@ class FilterAnalysisSettings:
     f_max_hz: float = 20000.0
     phase_mode: str = "degrees"  # "degrees" | "radians"
     unwrap_phase: bool = True
+    # CPU NumPy fallback at the reference's EXACT segment-length FFT grid
+    # (filterplot.py:143-152); for byte-level cross-tool diffing.
+    exact_grid: bool = False
 
 
 @dataclass(frozen=True)
@@ -75,6 +83,9 @@ def analyse_filter_response_channels(
     if int(seg_lens.min()) < 32:
         raise ValueError("Not enough samples after trimming/selection to analyse filter response.")
 
+    if settings.exact_grid:
+        return _analyse_exact_grid(dsp, settings)
+
     spec = spectral.segment_spectrum(
         aligned.samples,
         aligned.length,
@@ -109,6 +120,61 @@ def analyse_filter_response_channels(
         )
         for i, channel_name in enumerate(dsp.channel_names)
     ]
+
+
+def _analyse_exact_grid(
+    dsp: FileDsp,
+    settings: FilterAnalysisSettings,
+) -> List[ChannelFilterResponse]:
+    """
+    Host float64 fallback on the reference's EXACT segment-length FFT grid
+    (filterplot.py:140-202): rfft of the hann-windowed exact segment,
+    magnitude dB floor, phase (unwrap + degrees/radians), peak within the
+    selected range, magnitude at the bin nearest 1 kHz.
+    """
+    sample_rate_hz = dsp.sample_rate_hz
+    segments, starts, seg_lens = host_aligned_segments(
+        dsp, settings.trim_to_peak, settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    floor_lin = 10.0 ** (float(settings.magnitude_floor_db) / 20.0)
+    nyquist = 0.5 * float(sample_rate_hz)
+    f_min = float(np.clip(settings.f_min_hz, 0.0, nyquist))
+    f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
+
+    results = []
+    for i, (channel_name, x) in enumerate(zip(dsp.channel_names, segments)):
+        n = int(x.size)
+        xw = x * np.hanning(n) if settings.use_hann_window else x
+        spectrum = np.fft.rfft(xw)
+        mag_db = (20.0 * np.log10(np.maximum(np.abs(spectrum), floor_lin))).astype(np.float32)
+        phase = np.angle(spectrum)
+        if settings.unwrap_phase:
+            phase = np.unwrap(phase)
+        if settings.phase_mode == "degrees":
+            phase = np.rad2deg(phase)
+        freq_hz = np.fft.rfftfreq(n, d=1.0 / float(sample_rate_hz)).astype(np.float32)
+
+        sel = (freq_hz >= f_min) & (freq_hz <= f_max)
+        if not np.any(sel):
+            raise ValueError("Selected frequency range is empty.")
+        peak_freq = float(freq_hz[sel][int(np.argmax(mag_db[sel]))])
+        at_1k = float(mag_db[int(np.argmin(np.abs(freq_hz - 1000.0)))])
+
+        results.append(
+            ChannelFilterResponse(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                frequency_hz=freq_hz,
+                magnitude_db=mag_db,
+                phase_response=phase.astype(np.float32),
+                peak_frequency_hz=peak_freq,
+                magnitude_at_1khz_db=at_1k,
+            )
+        )
+    return results
 
 
 def analyse_filter_response_for_channel(

@@ -21,7 +21,12 @@ from typing import List, Optional, Tuple
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.analyses._common import (
+    FileDsp,
+    host_aligned_segments,
+    single_channel_dsp,
+    suffixed_png,
+)
 from audio_analysis_tpu.ops import logfreq, spectral
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
@@ -44,6 +49,10 @@ class FrequencyResponseAnalysisSettings:
     f_max_hz: float = 20000.0
     smoothing_log_bins: int = 0
     log_bins_per_octave: int = 96
+    # CPU NumPy fallback at the reference's EXACT segment-length FFT grid
+    # (frequency_response.py:216-218) instead of the padded pow-2 bucket —
+    # for byte-level cross-tool diffing; ~1e-6 agreement with the reference.
+    exact_grid: bool = False
 
 
 @dataclass(frozen=True)
@@ -86,6 +95,9 @@ def analyse_frequency_response_channels(
     nyquist = 0.5 * sample_rate_hz
     f_min = float(np.clip(settings.f_min_hz, 0.0, nyquist))
     f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
+
+    if settings.exact_grid:
+        return _analyse_exact_grid(dsp, settings, f_min, f_max)
 
     spec = spectral.segment_spectrum(
         aligned.samples,
@@ -142,6 +154,79 @@ def analyse_frequency_response_channels(
         else:
             peak_freq = float(peak_all[i])
             centroid = float(centroid_all[i])
+
+        results.append(
+            ChannelFrequencyResponse(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                frequency_hz=freq_hz,
+                magnitude_db=mag_db.astype(np.float32),
+                peak_frequency_hz=peak_freq,
+                spectral_centroid_hz=centroid,
+            )
+        )
+    return results
+
+
+def _analyse_exact_grid(
+    dsp: FileDsp,
+    settings: FrequencyResponseAnalysisSettings,
+    f_min: float,
+    f_max: float,
+) -> List[ChannelFrequencyResponse]:
+    """
+    Host float64 fallback on the reference's EXACT segment-length FFT grid
+    (frequency_response.py:203-260): rfft of the hann-windowed exact
+    segment, dB floor, peak/centroid over the selected range. Log-frequency
+    smoothing reuses ops.logfreq on the exact grid.
+    """
+    sample_rate_hz = dsp.sample_rate_hz
+    segments, starts, seg_lens = host_aligned_segments(
+        dsp, settings.trim_to_peak, settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    floor_lin = 10.0 ** (float(settings.magnitude_floor_db) / 20.0)
+    smoothed = settings.smoothing_log_bins and int(settings.smoothing_log_bins) > 1
+
+    results = []
+    for i, (channel_name, x) in enumerate(zip(dsp.channel_names, segments)):
+        n = int(x.size)
+        xw = x * np.hanning(n) if settings.use_hann_window else x
+        mag = np.maximum(np.abs(np.fft.rfft(xw)), floor_lin)
+        mag_db = (20.0 * np.log10(mag)).astype(np.float32)
+        freq_hz = np.fft.rfftfreq(n, d=1.0 / float(sample_rate_hz)).astype(np.float32)
+
+        if smoothed:
+            import jax.numpy as jnp
+
+            nyq = 0.5 * float(sample_rate_hz)
+            f_min_s = float(np.clip(settings.f_min_hz, 1.0, nyq))
+            f_max_s = float(np.clip(settings.f_max_hz, f_min_s, nyq))
+            mag_db = np.asarray(
+                logfreq.smooth_mag_db_log_frequency(
+                    freq_hz,
+                    jnp.asarray(mag_db[None, :]),
+                    f_min_s,
+                    f_max_s,
+                    int(settings.smoothing_log_bins),
+                    int(settings.log_bins_per_octave),
+                )
+            )[0]
+
+        sel = (freq_hz >= f_min) & (freq_hz <= f_max)
+        if not np.any(sel):
+            raise ValueError("Selected frequency range is empty (check f_min_hz/f_max_hz).")
+        mag_sel_db = mag_db[sel]
+        mag_sel_lin = 10.0 ** (mag_sel_db.astype(np.float64) / 20.0)
+        peak_freq = float(freq_hz[sel][int(np.argmax(mag_sel_db))])
+        wsum = float(mag_sel_lin.sum())
+        centroid = (
+            float((freq_hz[sel].astype(np.float64) * mag_sel_lin).sum() / wsum)
+            if wsum > 0.0
+            else float(freq_hz[sel][0])
+        )
 
         results.append(
             ChannelFrequencyResponse(

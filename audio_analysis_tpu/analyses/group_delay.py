@@ -17,7 +17,12 @@ from typing import List, Optional, Tuple
 import matplotlib.ticker as mticker
 import numpy as np
 
-from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.analyses._common import (
+    FileDsp,
+    host_aligned_segments,
+    single_channel_dsp,
+    suffixed_png,
+)
 from audio_analysis_tpu.ops import spectral, trim
 from audio_analysis_tpu.plot import (
     create_figure_and_axis,
@@ -40,6 +45,10 @@ class GroupDelayAnalysisSettings:
     f_max_hz: float = 20000.0
     unwrap_phase: bool = True
     smoothing_bins: int = 0
+    # CPU NumPy fallback at the reference's exact FFT size (next pow2 of the
+    # SEGMENT length, capped 2^20 — group_delay.py:103-105) instead of the
+    # padded bucket; for byte-level cross-tool diffing.
+    exact_grid: bool = False
 
 
 @dataclass(frozen=True)
@@ -65,6 +74,9 @@ def analyse_group_delay_channels(
     import jax.numpy as jnp
 
     sample_rate_hz = dsp.sample_rate_hz
+    if settings.exact_grid:
+        return _analyse_exact_grid(dsp, settings)
+
     aligned = dsp.aligned(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
@@ -110,6 +122,54 @@ def analyse_group_delay_channels(
         )
         for i, channel_name in enumerate(dsp.channel_names)
     ]
+
+
+def _analyse_exact_grid(
+    dsp: FileDsp,
+    settings: GroupDelayAnalysisSettings,
+) -> List[ChannelGroupDelayResult]:
+    """
+    Host float64 fallback mirroring the reference exactly
+    (group_delay.py:89-131): hann over the exact segment, rfft at next-pow2
+    of the SEGMENT length (capped 2^20), unwrap, gd = -dphi/dw in samples,
+    optional moving-average smoothing, then the frequency-range mask.
+    """
+    sample_rate_hz = dsp.sample_rate_hz
+    segments, _, _ = host_aligned_segments(
+        dsp, settings.trim_to_peak, settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+
+    results = []
+    for channel_name, x in zip(dsp.channel_names, segments):
+        seg = x * np.hanning(x.size) if settings.use_hann_window else x
+        if settings.fft_size is None:
+            n_fft = 1 << max(0, int(np.ceil(np.log2(max(1, seg.size)))))
+            n_fft = min(n_fft, _MAX_FFT)
+        else:
+            n_fft = int(settings.fft_size)
+
+        spectrum = np.fft.rfft(seg, n=n_fft)
+        freq_hz = np.fft.rfftfreq(n_fft, d=1.0 / float(sample_rate_hz))
+        phase = np.angle(spectrum)
+        if settings.unwrap_phase:
+            phase = np.unwrap(phase)
+        w = 2.0 * np.pi * (freq_hz / float(sample_rate_hz))  # rad/sample
+        gd = -np.gradient(phase, w)
+        if settings.smoothing_bins and int(settings.smoothing_bins) > 1:
+            kernel = np.ones(int(settings.smoothing_bins)) / float(settings.smoothing_bins)
+            gd = np.convolve(gd, kernel, mode="same")
+
+        sel = (freq_hz >= float(settings.f_min_hz)) & (freq_hz <= float(settings.f_max_hz))
+        results.append(
+            ChannelGroupDelayResult(
+                channel_name=channel_name,
+                sample_rate_hz=int(sample_rate_hz),
+                frequency_hz=freq_hz[sel].astype(np.float64),
+                group_delay_samples=gd[sel].astype(np.float64),
+            )
+        )
+    return results
 
 
 def analyse_group_delay_for_channel(

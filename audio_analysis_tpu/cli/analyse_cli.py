@@ -159,6 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smooth", dest="smoothing_bins", type=int, default=0)
     p.add_argument("--fmin", dest="f_min_hz", type=float, default=20.0)
     p.add_argument("--fmax", dest="f_max_hz", type=float, default=20000.0)
+    p.add_argument("--exact-grid", dest="exact_grid", action="store_true",
+                   help="CPU fallback on the reference's exact next-pow2 FFT grid.")
 
     # --- bundle ---
     p = sub.add_parser("bundle", help="Analyse an IR bundle folder (meta.json + taps/*.wav).")
@@ -248,6 +250,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoothing_log_bins", type=int, default=0)
     p.add_argument("--log_bins_per_octave", type=int, default=96)
     p.add_argument("--no_hann_window", action="store_true")
+    p.add_argument("--exact-grid", dest="exact_grid", action="store_true",
+                   help="CPU fallback on the reference's exact segment-length FFT grid.")
 
     # --- filter ---
     p = sub.add_parser("filter", help="Plot filter frequency response: magnitude (dB) and phase.")
@@ -263,6 +267,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phase_mode", type=str, choices=["degrees", "radians"], default="degrees")
     p.add_argument("--no_unwrap_phase", action="store_true")
     p.add_argument("--no_hann_window", action="store_true")
+    p.add_argument("--exact-grid", dest="exact_grid", action="store_true",
+                   help="CPU fallback on the reference's exact segment-length FFT grid.")
 
     # --- spectrogram ---
     p = sub.add_parser("spectrogram", help="Plot time-frequency magnitude spectrogram.")
@@ -501,6 +507,7 @@ def main(argv=None) -> None:
                 f_max_hz=float(args.f_max_hz),
                 smoothing_log_bins=int(args.smoothing_log_bins),
                 log_bins_per_octave=int(args.log_bins_per_octave),
+                exact_grid=bool(getattr(args, "exact_grid", False)),
             ),
             plot_settings=FrequencyResponsePlotSettings(),
             output_basename=out_base(),
@@ -524,6 +531,7 @@ def main(argv=None) -> None:
                 f_max_hz=float(args.f_max_hz),
                 phase_mode=str(args.phase_mode),
                 unwrap_phase=not bool(args.no_unwrap_phase),
+                exact_grid=bool(getattr(args, "exact_grid", False)),
             ),
             plot_settings=FilterPlotSettings(),
             output_basename=out_base(),
@@ -684,6 +692,7 @@ def main(argv=None) -> None:
                 smoothing_bins=int(args.smoothing_bins),
                 f_min_hz=float(args.f_min_hz),
                 f_max_hz=float(args.f_max_hz),
+                exact_grid=bool(getattr(args, "exact_grid", False)),
             ),
             plot_settings=GroupDelayPlotSettings(),
             output_basename=out_base(),

@@ -96,6 +96,12 @@ def main() -> None:
         df.analyse_diffusion_from_wav_file(str(wav_path), df.DiffusionAnalysisSettings())
     )
 
+    from analyse import filterplot as fp
+
+    fixtures["filterplot"] = fp.summarise_filter_response_results_text(
+        fp.analyse_filter_response_from_wav_file(str(wav_path), fp.FilterAnalysisSettings())
+    )
+
     from analyse import group_delay as gd
 
     fixtures["group_delay"] = gd.summarise_group_delay_results_text(

@@ -39,6 +39,16 @@ TOLERANCES = {
     "modalcloud": (5e-2, 1.0),
     "diffusion": (2e-2, 0.02),
     "group_delay": (2e-2, 5.0),
+    "filterplot": (5e-3, 1.0),
+}
+
+# exact_grid=True runs the reference's exact FFT lengths in host float64 —
+# the only remaining delta is the f32 WAV decode quantisation, so the
+# printed summaries must agree to printed precision.
+EXACT_TOLERANCES = {
+    "frequency_response": (1e-6, 0.051),  # printed .1f: half an ulp of print
+    "group_delay": (1e-6, 0.0051),  # printed .3f
+    "filterplot": (1e-6, 0.051),  # printed .1f
 }
 
 
@@ -50,10 +60,10 @@ def golden_wav(tmp_path_factory):
     return str(path)
 
 
-def _compare(name: str, ours: str) -> None:
+def _compare(name: str, ours: str, tolerances=None) -> None:
     ref = (FIXTURE_DIR / f"{name}.txt").read_text().rstrip()
     got = ours.rstrip()
-    rel, abs_ = TOLERANCES[name]
+    rel, abs_ = (tolerances or TOLERANCES)[name]
 
     ref_skel = [_ANY_NUM.sub("#", line) for line in ref.splitlines()]
     got_skel = [_ANY_NUM.sub("#", line) for line in got.splitlines()]
@@ -142,4 +152,60 @@ def test_group_delay_matches_reference_output(golden_wav):
     _compare(
         "group_delay",
         gd.summarise_group_delay_results_text(gd.analyse_group_delay_from_wav_file(golden_wav)),
+    )
+
+
+def test_filterplot_matches_reference_output(golden_wav):
+    from audio_analysis_tpu.analyses import filterplot as fp
+
+    _compare(
+        "filterplot",
+        fp.summarise_filter_response_results_text(
+            fp.analyse_filter_response_from_wav_file(golden_wav, fp.FilterAnalysisSettings())
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# --exact-grid: the CPU float64 fallback at the reference's exact FFT
+# lengths must agree with the reference tool to printed precision
+# ---------------------------------------------------------------------------
+
+
+def test_frequency_response_exact_grid(golden_wav):
+    from audio_analysis_tpu.analyses import frequency_response as fr
+
+    results = fr.analyse_frequency_response_from_wav_file(
+        golden_wav, fr.FrequencyResponseAnalysisSettings(exact_grid=True)
+    )
+    _compare(
+        "frequency_response",
+        fr.summarise_frequency_response_results_text(results),
+        tolerances=EXACT_TOLERANCES,
+    )
+
+
+def test_group_delay_exact_grid(golden_wav):
+    from audio_analysis_tpu.analyses import group_delay as gd
+
+    results = gd.analyse_group_delay_from_wav_file(
+        golden_wav, gd.GroupDelayAnalysisSettings(exact_grid=True)
+    )
+    _compare(
+        "group_delay",
+        gd.summarise_group_delay_results_text(results),
+        tolerances=EXACT_TOLERANCES,
+    )
+
+
+def test_filterplot_exact_grid(golden_wav):
+    from audio_analysis_tpu.analyses import filterplot as fp
+
+    results = fp.analyse_filter_response_from_wav_file(
+        golden_wav, fp.FilterAnalysisSettings(exact_grid=True)
+    )
+    _compare(
+        "filterplot",
+        fp.summarise_filter_response_results_text(results),
+        tolerances=EXACT_TOLERANCES,
     )
