@@ -575,28 +575,37 @@ def analyze_bundle_pipelined(
 
     import time as _time
 
+    # The worker thread decodes AND (single-device) device_puts the padded
+    # chunk, so the host->device transfer of chunk k+1 overlaps chunk k's
+    # engine compute — on a link where the upload is ~1/3 of warm e2e this
+    # is the difference between serial and pipelined uploads. The mesh path
+    # keeps host chunks (its dispatch device_puts onto the tap sharding).
+    def load_chunk(lo: int, hi: int):
+        cb = loader(lo, hi)
+        take = hi - lo
+        if take < chunk:
+            pad = chunk - take
+            cb = np.concatenate([cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0)
+        return cb if mesh is not None else jnp.asarray(cb)
+
     decode_wait_s = dispatch_s = 0.0
     flats = []
     takes = []
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(loader, 0, min(b, chunk))
+        fut = ex.submit(load_chunk, 0, min(b, chunk))
         for lo in range(0, b, chunk):
             hi = min(b, lo + chunk)
             t0 = _time.perf_counter()
             cb = fut.result()
             decode_wait_s += _time.perf_counter() - t0
             if hi < b:
-                fut = ex.submit(loader, hi, min(b, hi + chunk))
+                fut = ex.submit(load_chunk, hi, min(b, hi + chunk))
             if spec is None:
                 spec = _flat_spec((chunk, channels, n_max), (chunk,), config)
             take = hi - lo
             cl = lengths[lo:hi]
             if take < chunk:
-                pad = chunk - take
-                cb = np.concatenate(
-                    [cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0
-                )
-                cl = np.concatenate([cl, np.full(pad, n_max // 2, np.int32)])
+                cl = np.concatenate([cl, np.full(chunk - take, n_max // 2, np.int32)])
             t0 = _time.perf_counter()
             flats.append(dispatch(cb, cl))
             dispatch_s += _time.perf_counter() - t0
@@ -606,10 +615,11 @@ def analyze_bundle_pipelined(
     fetched = fetch_packed(flats, spec)
     fetch_s = _time.perf_counter() - t0
     if timings is not None:
-        # decode_wait = time the pipeline actually BLOCKED on WAV decode
-        # (decode overlapped with device work doesn't show up here);
-        # dispatch = h2d upload + trace/dispatch; fetch = the one packed
-        # device->host metric copy (includes waiting out device compute).
+        # decode_wait = time the pipeline actually BLOCKED on the worker's
+        # WAV-decode + (single-device) h2d upload — work overlapped with
+        # device compute doesn't show up here; dispatch = any non-overlapped
+        # upload + trace/dispatch; fetch = the one packed device->host
+        # metric copy (includes waiting out device compute).
         timings["decode_wait_s"] = round(decode_wait_s, 4)
         timings["h2d_dispatch_s"] = round(dispatch_s, 4)
         timings["fetch_s"] = round(fetch_s, 4)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -188,8 +189,30 @@ def apply_band_masks(x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     """
     x: (..., N) real signal; masks: (bands, F) with F = N//2 + 1.
     Returns (..., bands, N): all bands filtered with ONE batched rfft+irfft.
+
+    Stereo fast path: when the second-to-last axis is exactly 2 (an L/R
+    pair) and N is even, the pair packs into ONE complex signal z = L + iR —
+    a real, even (conjugate-symmetric) filter commutes with the packing, so
+    one c2c fft + one c2c ifft per band yields BOTH channels' band signals
+    (real part = L, imag = R). Exact in exact arithmetic; halves the FFT
+    work where the TPU FFT doesn't exploit real-input symmetry.
     """
     n = x.shape[-1]
+    if x.ndim >= 2 and x.shape[-2] == 2 and n % 2 == 0:
+        return _apply_band_masks_packed_stereo(x, masks, n)
     spectrum = jnp.fft.rfft(x, axis=-1)  # (..., F)
     banded = spectrum[..., None, :] * masks  # (..., bands, F)
     return jnp.fft.irfft(banded, n=n, axis=-1).astype(jnp.float32)
+
+
+def _apply_band_masks_packed_stereo(x: jnp.ndarray, masks: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(..., 2, N) real -> (..., 2, bands, N) via the L + iR c2c packing."""
+    z = jax.lax.complex(x[..., 0, :], x[..., 1, :])  # (..., N)
+    spectrum = jnp.fft.fft(z, axis=-1)  # (..., N)
+    # mirror the rfft-half mask to the full spectrum: mask_full[k] = mask[N-k]
+    # for k > N/2 (reverse of the interior — a cheap flip, NOT a gather)
+    masks_full = jnp.concatenate([masks, masks[:, 1:-1][:, ::-1]], axis=-1)  # (bands, N)
+    z_banded = jnp.fft.ifft(spectrum[..., None, :] * masks_full, axis=-1)  # (..., bands, N)
+    return jnp.stack(
+        [jnp.real(z_banded), jnp.imag(z_banded)], axis=-3
+    ).astype(jnp.float32)

@@ -214,6 +214,23 @@ def test_batched_band_filtering_matches_oracle():
         np.testing.assert_allclose(out[b], expected, atol=2e-5)
 
 
+def test_stereo_packed_band_filtering_matches_oracle():
+    """The L + iR c2c packing (apply_band_masks stereo fast path) must match
+    the per-channel oracle filter for BOTH channels."""
+    n = 8192
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    bands = fftmask.build_three_band_definitions(SR)
+    masks = fftmask.build_band_mask_matrix(bands, n, SR, 1 / 6)
+
+    out = np.asarray(fftmask.apply_band_masks(jnp.asarray(x), jnp.asarray(masks)))
+    assert out.shape == (2, 3, n)
+    for c in range(2):
+        for b in range(3):
+            expected = oracle.apply_fft_mask(x[c], masks[b].astype(np.float64))
+            np.testing.assert_allclose(out[c, b], expected, atol=2e-5)
+
+
 def test_fractional_octave_band_layout():
     bands = fftmask.build_fractional_octave_band_definitions(SR, 1)
     names = [b.name for b in bands]

@@ -50,6 +50,39 @@ print("worker ok")
 """
 
 
+def _boom():
+    raise ValueError("render failed on purpose")
+
+
+def _ok(path):
+    import pathlib
+
+    pathlib.Path(path).write_text("ok")
+
+
+def test_process_pool_isolates_job_failures(tmp_path):
+    """A failing render job must not kill the pool: later jobs still run and
+    drain_collect returns the labeled failure instead of raising."""
+    from functools import partial
+
+    from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
+
+    pool = ProcessPlotPool(num_workers=2)
+    try:
+        pool.submit(_boom, label="tap3")
+        marker = tmp_path / "ran.txt"
+        pool.submit(partial(_ok, str(marker)), label="tap4")
+        failures = pool.drain_collect()
+    finally:
+        pool.close()
+
+    assert marker.read_text() == "ok"
+    assert len(failures) == 1
+    label, exc = failures[0]
+    assert label == "tap3"
+    assert "render failed on purpose" in str(exc)
+
+
 def test_process_pool_matches_thread_worker(tmp_path):
     from audio_analysis_tpu.io.bundle import write_bundle
 
