@@ -133,11 +133,14 @@ def analyse_decay_channels(
         for _, range_db in plan
     ]
 
-    # ONE packed device->host transfer for crossings + every fit field +
-    # the EDC curve (the per-field fetches here were 33 relay round-trips)
-    c0, c10, fits_host, edc_host = transport.fetch_packed_tree(
-        (c0, c10, fits_dev, curve.edc_db)
-    )
+    # ONE packed device->host transfer for crossings + every fit field (the
+    # per-field fetches here were 33 relay round-trips); the EDC dB curve
+    # crosses separately as 1/256-dB int16 fixed point (half the bytes,
+    # exact to ±0.002 dB — it only feeds the plot)
+    from audio_analysis_tpu.analyses._common import _fetch_db_plane_i16
+
+    c0, c10, fits_host = transport.fetch_packed_tree((c0, c10, fits_dev))
+    edc_host = _fetch_db_plane_i16(curve.edc_db)
     c0_found, c0_t = c0.found, c0.time_seconds
     c10_found, c10_t = c10.found, c10.time_seconds
     kernel_fits = [
