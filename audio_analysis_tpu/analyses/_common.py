@@ -200,12 +200,12 @@ class FileDsp:
             # ~35 MB/s on fetch, so halving the bytes halves the per-tap
             # spectrogram/waterfall wall time. Quantisation is far below
             # every summary/plot precision (values print at 0.1 dB).
-            q = _fetch_db_plane_i16(r.mag_db)
+            q = fetch_db_plane_i16(r.mag_db)
             self._stft_host[key] = (q, np.asarray(r.num_frames, np.int64))
         return self._stft_host[key]
 
 
-def _fetch_db_plane_i16(mag_db) -> np.ndarray:
+def fetch_db_plane_i16(mag_db) -> np.ndarray:
     """Fetch a device dB plane as 1/256-dB int16 fixed point, dequantised to
     float32 on host — half the link bytes, exact to ±1/512 dB."""
     import jax.numpy as jnp

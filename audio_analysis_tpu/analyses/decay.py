@@ -137,10 +137,10 @@ def analyse_decay_channels(
     # per-field fetches here were 33 relay round-trips); the EDC dB curve
     # crosses separately as 1/256-dB int16 fixed point (half the bytes,
     # exact to ±0.002 dB — it only feeds the plot)
-    from audio_analysis_tpu.analyses._common import _fetch_db_plane_i16
+    from audio_analysis_tpu.analyses._common import fetch_db_plane_i16
 
     c0, c10, fits_host = transport.fetch_packed_tree((c0, c10, fits_dev))
-    edc_host = _fetch_db_plane_i16(curve.edc_db)
+    edc_host = fetch_db_plane_i16(curve.edc_db)
     c0_found, c0_t = c0.found, c0.time_seconds
     c10_found, c10_t = c10.found, c10.time_seconds
     kernel_fits = [

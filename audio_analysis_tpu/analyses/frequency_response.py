@@ -23,7 +23,7 @@ import numpy as np
 
 from audio_analysis_tpu.analyses._common import (
     FileDsp,
-    _fetch_db_plane_i16,
+    fetch_db_plane_i16,
     host_aligned_segments,
     single_channel_dsp,
     suffixed_png,
@@ -115,7 +115,7 @@ def analyse_frequency_response_channels(
     freq_hz = np.fft.rfftfreq(n_pad, d=1.0 / sample_rate_hz).astype(np.float32)
     # (C, F) dB plane crosses the link as 1/256-dB int16 (plot feed; the
     # peak/centroid diagnostics are computed on device from the full f32)
-    mag_db_all = _fetch_db_plane_i16(spec.mag_db)
+    mag_db_all = fetch_db_plane_i16(spec.mag_db)
 
     sel = (freq_hz >= f_min) & (freq_hz <= f_max)
     if not np.any(sel):
