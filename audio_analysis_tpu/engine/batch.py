@@ -540,6 +540,7 @@ def analyze_bundle_pipelined(
     channels: int = 2,
     mesh=None,
     timings: "Dict[str, float] | None" = None,
+    device_chunk_cache: "list | None" = None,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -552,6 +553,13 @@ def analyze_bundle_pipelined(
     DEVICE, dispatched via shard_map (engine.mesh) with the decoded host
     chunk device_put straight onto the tap sharding; results still come
     back in one packed fetch.
+
+    `device_chunk_cache` (single-device path only): a caller-owned list.
+    When it already holds every padded device chunk for this bundle, the
+    loader is never called — re-analysing an UNCHANGED bundle (the
+    iterate-loop workflow) skips both the WAV decode and the whole
+    host->device upload. When empty, it is filled as chunks upload. The
+    caller owns invalidation (key by tap mtimes/sizes — engine_report does).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -580,13 +588,27 @@ def analyze_bundle_pipelined(
     # engine compute — on a link where the upload is ~1/3 of warm e2e this
     # is the difference between serial and pipelined uploads. The mesh path
     # keeps host chunks (its dispatch device_puts onto the tap sharding).
+    num_chunks = -(-b // chunk)
+    cache_hit = (
+        mesh is None
+        and device_chunk_cache is not None
+        and len(device_chunk_cache) == num_chunks
+    )
+
     def load_chunk(lo: int, hi: int):
+        if cache_hit:
+            return device_chunk_cache[lo // chunk]
         cb = loader(lo, hi)
         take = hi - lo
         if take < chunk:
             pad = chunk - take
             cb = np.concatenate([cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0)
-        return cb if mesh is not None else jnp.asarray(cb)
+        if mesh is not None:
+            return cb
+        cb = jnp.asarray(cb)
+        if device_chunk_cache is not None:
+            device_chunk_cache.append(cb)
+        return cb
 
     decode_wait_s = dispatch_s = 0.0
     flats = []

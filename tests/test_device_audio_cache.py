@@ -1,0 +1,123 @@
+"""
+Device-resident bundle-audio cache (EngineBundleSettings.cache_device_audio):
+a warm rerun of an UNCHANGED bundle must not decode any PCM (chunks stay in
+device memory) and must produce identical metrics; touching a tap must
+invalidate the cache and change the results.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+_WORKER = r"""
+import json, sys
+import numpy as np
+
+from audio_analysis_tpu.io import native
+from audio_analysis_tpu.io.bundle import write_bundle
+from audio_analysis_tpu.report.engine_report import (
+    EngineBundleSettings,
+    run_bundle_report_engine,
+)
+from audio_analysis_tpu.engine import EngineConfig
+
+bundle, out_json = sys.argv[1], sys.argv[2]
+
+decode_calls = [0]
+orig = native.read_bundle_planar_i16
+
+
+def counting(*a, **k):
+    decode_calls[0] += 1
+    return orig(*a, **k)
+
+
+native.read_bundle_planar_i16 = counting
+
+# use_device_mesh off: the cache is a single-device feature, and the test
+# env inherits the 8-virtual-device XLA flag from conftest
+settings = EngineBundleSettings(
+    config=EngineConfig(run_modal=False), chunk_taps=2, use_device_mesh="off"
+)
+
+
+def run():
+    run_bundle_report_engine(bundle, settings)
+    metrics = json.loads(open(f"{bundle}/reports/bundle_metrics.json").read())
+    return metrics["metrics"]["t30_rt60"]
+
+
+t30_first = run()
+decodes_first = decode_calls[0]
+assert decodes_first > 0, "first run must decode"
+
+t30_second = run()
+decodes_second = decode_calls[0] - decodes_first
+np.testing.assert_array_equal(np.asarray(t30_first), np.asarray(t30_second))
+assert decodes_second == 0, f"cache hit must not decode (got {decodes_second})"
+
+# mutate one tap: different decay -> cache must invalidate and results move
+sr, n = 48_000, 16_384
+t = np.arange(n) / sr
+env = 10.0 ** (-3.0 * t / 0.5)
+x = np.zeros((n, 2), np.float32)
+x[64:, :] = (0.05 * np.random.default_rng(99).standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(np.float32)
+x[64, :] = 0.9
+import time
+time.sleep(0.05)  # ensure a distinct mtime_ns on coarse filesystems
+from audio_analysis_tpu.io.wav import write_wav_pcm16
+write_wav_pcm16(f"{bundle}/taps/tap0.wav", x, sr)
+
+t30_third = run()
+assert decode_calls[0] > decodes_first, "mutation must re-decode"
+assert not np.allclose(t30_third[0], t30_second[0], rtol=1e-3), (
+    t30_third[0], t30_second[0]
+)
+
+json.dump({"ok": True}, open(out_json, "w"))
+print("worker ok")
+"""
+
+
+def test_device_audio_cache_roundtrip(tmp_path):
+    from audio_analysis_tpu.io.bundle import write_bundle
+
+    sr = 48_000
+    n = 16_384
+    rng = np.random.default_rng(31)
+    t = np.arange(n) / sr
+    taps = {}
+    for i, rt60 in enumerate([0.2, 0.3, 0.4]):
+        env = 10.0 ** (-3.0 * t / rt60)
+        x = np.zeros((n, 2), np.float32)
+        x[64:, :] = (0.05 * rng.standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(
+            np.float32
+        )
+        x[64, :] = 0.9
+        taps[f"tap{i}"] = x
+    bundle = tmp_path / "bundle"
+    write_bundle(bundle, taps, sr)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)]))
+
+    out_json = tmp_path / "out.json"
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    run = subprocess.run(
+        [sys.executable, str(worker), str(bundle), str(out_json)],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        timeout=600,
+    )
+    assert run.returncode == 0, run.stderr.decode()[-3000:] + run.stdout.decode()[-500:]
+    assert json.loads(out_json.read_text())["ok"] is True
