@@ -487,6 +487,16 @@ def unpack_flat(flat: np.ndarray, spec) -> Dict[str, np.ndarray]:
     return out
 
 
+def _pad_fill_length(n_max: int) -> int:
+    """Claimed valid-length for the all-zero taps that pad a short final
+    chunk up to the compiled chunk size. Any value in [a few hundred, n_max]
+    works — it only has to be long enough that the padded rows' fits/masks
+    stay in-range (they run on zeros and are DROPPED after the fetch, never
+    merged into results). n_max//2 keeps it comfortably inside every
+    analysis window without special-casing n_max itself."""
+    return n_max // 2
+
+
 def analyze_bundle(
     batch: np.ndarray,
     lengths: np.ndarray,
@@ -502,6 +512,8 @@ def analyze_bundle(
     chunk_taps = min(chunk_taps, b)
     spec = _flat_spec((chunk_taps,) + batch.shape[1:], (chunk_taps,), config)
 
+    pad_len = _pad_fill_length(batch.shape[-1])
+
     flats = []
     takes = []
     for lo in range(0, b, chunk_taps):
@@ -512,7 +524,7 @@ def analyze_bundle(
         if take < chunk_taps:
             pad = chunk_taps - take
             cb = np.concatenate([batch[lo:hi], np.zeros_like(batch[:pad])], axis=0)
-            cl = np.concatenate([lengths[lo:hi], np.full(pad, batch.shape[-1] // 2, np.int32)])
+            cl = np.concatenate([lengths[lo:hi], np.full(pad, pad_len, np.int32)])
         else:
             cb, cl = batch[lo:hi], lengths[lo:hi]
         flats.append(
@@ -627,7 +639,7 @@ def analyze_bundle_pipelined(
             take = hi - lo
             cl = lengths[lo:hi]
             if take < chunk:
-                cl = np.concatenate([cl, np.full(chunk - take, n_max // 2, np.int32)])
+                cl = np.concatenate([cl, np.full(chunk - take, _pad_fill_length(n_max), np.int32)])
             t0 = _time.perf_counter()
             flats.append(dispatch(cb, cl))
             dispatch_s += _time.perf_counter() - t0

@@ -281,12 +281,18 @@ def bench_bundle_plots_end_to_end(bundle_root: str) -> float:
         report_settings=ReportSettings(plot_processes=plot_processes)
     )
 
-    start = time.perf_counter()
-    index = run_bundle_report(sub, settings)
-    elapsed = time.perf_counter() - start
-    assert index.exists()
-    failed = index.read_text().count("FAILED")
-    assert failed == 0, f"{failed} taps failed in the plot-path bench"
+    # best of 2: the dev relay's sustained-transfer stalls (10-150x swings)
+    # would otherwise corrupt the recorded number, like the other timed
+    # sections this repeats
+    elapsed = float("inf")
+    for _ in range(2):
+        shutil.rmtree(sub / "reports", ignore_errors=True)
+        start = time.perf_counter()
+        index = run_bundle_report(sub, settings)
+        elapsed = min(elapsed, time.perf_counter() - start)
+        assert index.exists()
+        failed = index.read_text().count("FAILED")
+        assert failed == 0, f"{failed} taps failed in the plot-path bench"
     return elapsed, plot_processes
 
 
