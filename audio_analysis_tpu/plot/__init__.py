@@ -59,6 +59,132 @@ def create_figure_and_axis(
     return figure, axis
 
 
+# ----------------------------------------------------------------------------
+# tight-bbox cache — skip savefig's per-figure layout pass on repeat layouts.
+#
+# `bbox_inches="tight"` costs a full layout pass (tick construction + text
+# metrics, ~40 ms per figure here) BEFORE the real draw. The resulting crop
+# box is a pure function of the figure geometry and every extent-affecting
+# string (titles, axis labels, tick label strings, offset text, legend and
+# free-text contents) — the plotted DATA only moves artists that clip inside
+# the axes. A bundle report renders the same 15 figure layouts per tap, so
+# caching the computed crop under an exact content key makes every repeat
+# figure one draw instead of two. On a key hit the savefig call receives the
+# identical Bbox the tight pass would compute — output bytes are unchanged.
+# Figures the key cannot fully fingerprint (3D axes, legends anchored
+# outside the axes) fall back to the plain "tight" path.
+
+_TIGHT_BBOX_CACHE: dict = {}
+_TIGHT_BBOX_CACHE_MAX = 512
+TIGHT_BBOX_CACHE_ENABLED = True
+
+
+def clear_tight_bbox_cache() -> None:
+    _TIGHT_BBOX_CACHE.clear()
+
+
+def _round6(values) -> Tuple[float, ...]:
+    return tuple(round(float(v), 6) for v in np.atleast_1d(values))
+
+
+def _axis_text_key(axis) -> Optional[tuple]:
+    """Tick strings + offset text for one x/y axis, computed WITHOUT a
+    layout pass (locator + formatter only)."""
+    parts = []
+    for which in ("major", "minor"):
+        locs = axis.get_majorticklocs() if which == "major" else axis.get_minorticklocs()
+        formatter = (
+            axis.get_major_formatter() if which == "major" else axis.get_minor_formatter()
+        )
+        labels = tuple(formatter.format_ticks(locs))
+        offset = ""
+        get_offset = getattr(formatter, "get_offset", None)
+        if callable(get_offset):
+            offset = str(get_offset())
+        parts.append((_round6(locs), labels, offset))
+    return tuple(parts)
+
+
+def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
+    """Hashable fingerprint of everything that can move the tight crop box,
+    or None when the figure has elements the fingerprint can't cover."""
+    try:
+        parts: list = [
+            _round6(figure.get_size_inches()),
+            round(float(figure.dpi), 6),
+            tuple((t.get_text(), _round6(t.get_position())) for t in figure.texts),
+        ]
+        for ax in figure.get_axes():
+            if getattr(ax, "name", "rectilinear") != "rectilinear":
+                return None  # 3D axes: panes/ticks move with data-driven view
+            leg = ax.get_legend()
+            leg_key = ()
+            if leg is not None:
+                if getattr(leg, "_bbox_to_anchor", None) is not None:
+                    return None  # may hang outside the axes, data-positioned
+                leg_key = tuple(t.get_text() for t in leg.get_texts())
+            parts.append(
+                (
+                    _round6(ax.get_position().bounds),
+                    tuple(ax.get_title(loc=loc) for loc in ("left", "center", "right")),
+                    ax.get_xlabel(),
+                    ax.get_ylabel(),
+                    ax.get_xscale(),
+                    ax.get_yscale(),
+                    _round6(ax.get_xlim()),
+                    _round6(ax.get_ylim()),
+                    _axis_text_key(ax.xaxis),
+                    _axis_text_key(ax.yaxis),
+                    leg_key,
+                    tuple(
+                        (t.get_text(), _round6(t.get_position())) for t in ax.texts
+                    ),
+                )
+            )
+        return tuple(parts)
+    except Exception:
+        return None
+
+
+def _tight_bbox_for(figure: plt.Figure):
+    """The padded crop box `bbox_inches="tight"` would compute — one layout
+    pass (draw with rendering disabled), mirroring
+    backend_bases.print_figure's tight branch."""
+    from contextlib import nullcontext
+
+    renderer = figure.canvas.get_renderer()
+    with getattr(renderer, "_draw_disabled", nullcontext)():
+        figure.draw(renderer)
+    bbox = figure.get_tightbbox(renderer)
+    pad = float(matplotlib.rcParams["savefig.pad_inches"])
+    return bbox.padded(pad, pad)
+
+
+def _save_tight(figure: plt.Figure, target: Path) -> None:
+    bbox = "tight"
+    key = _figure_layout_key(figure) if TIGHT_BBOX_CACHE_ENABLED else None
+    if key is not None:
+        cached = _TIGHT_BBOX_CACHE.get(key)
+        if cached is None:
+            try:
+                cached = _tight_bbox_for(figure)
+            except Exception:
+                cached = None
+            if cached is not None:
+                if len(_TIGHT_BBOX_CACHE) >= _TIGHT_BBOX_CACHE_MAX:
+                    _TIGHT_BBOX_CACHE.clear()
+                _TIGHT_BBOX_CACHE[key] = cached
+        if cached is not None:
+            bbox = cached
+    # Pillow writer at compress level 1: ~2x faster PNG encode than the
+    # default zlib-6 for a few % larger files. Tight bbox kept
+    # (plotting.py:67 contract — same cropped dimensions).
+    try:
+        figure.savefig(target, bbox_inches=bbox, pil_kwargs={"compress_level": 1})
+    except TypeError:  # matplotlib without PIL writer support
+        figure.savefig(target, bbox_inches=bbox)
+
+
 def finalize_and_show_or_save(
     figure: plt.Figure,
     output_path: Optional[str | Path] = None,
@@ -74,13 +200,7 @@ def finalize_and_show_or_save(
         if output_path is not None:
             target = Path(output_path)
             target.parent.mkdir(parents=True, exist_ok=True)
-            # Pillow writer at compress level 1: ~2x faster PNG encode than
-            # the default zlib-6 for a few % larger files. Tight bbox kept
-            # (plotting.py:67 contract — same cropped dimensions).
-            try:
-                figure.savefig(target, bbox_inches="tight", pil_kwargs={"compress_level": 1})
-            except TypeError:  # matplotlib without PIL writer support
-                figure.savefig(target, bbox_inches="tight")
+            _save_tight(figure, target)
         elif show_interactive:
             plt.show()
     finally:

@@ -1,0 +1,77 @@
+"""
+Tight-bbox cache (plot._save_tight): repeat figure layouts skip savefig's
+tight layout pass. The cached crop must be BYTE-identical to the plain
+`bbox_inches="tight"` output on both the miss and hit paths, keys must
+separate layouts that crop differently, and unfingerprintable figures
+(3D axes) must fall back to the plain tight path.
+"""
+
+import numpy as np
+import pytest
+
+import audio_analysis_tpu.plot as P
+from audio_analysis_tpu.plot import create_figure_and_axis, finalize_and_show_or_save
+
+
+@pytest.fixture(autouse=True)
+def fresh_cache():
+    old = P.TIGHT_BBOX_CACHE_ENABLED
+    P.TIGHT_BBOX_CACHE_ENABLED = True
+    P.clear_tight_bbox_cache()
+    yield
+    P.TIGHT_BBOX_CACHE_ENABLED = old
+    P.clear_tight_bbox_cache()
+
+
+def _render(path, data, ylim=(-3.0, 3.0), title="Decay  tap.wav"):
+    fig, ax = create_figure_and_axis(title, figure_size=(4.0, 2.5))
+    ax.plot(np.arange(len(data)), data, label="EDC")
+    ax.legend(loc="best")
+    ax.set_xlabel("Time (seconds)")
+    ax.set_ylabel("Level (dB)")
+    ax.set_ylim(*ylim)
+    finalize_and_show_or_save(fig, path, False)
+    return path.read_bytes()
+
+
+def test_hit_and_miss_paths_byte_identical_to_tight(tmp_path):
+    rng = np.random.default_rng(0)
+    d1, d2 = rng.standard_normal(200), rng.standard_normal(200)
+
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    ref1 = _render(tmp_path / "r1.png", d1)
+    ref2 = _render(tmp_path / "r2.png", d2)
+
+    P.TIGHT_BBOX_CACHE_ENABLED = True
+    P.clear_tight_bbox_cache()
+    got1 = _render(tmp_path / "c1.png", d1)  # miss: computes + stores bbox
+    assert len(P._TIGHT_BBOX_CACHE) == 1
+    got2 = _render(tmp_path / "c2.png", d2)  # same layout, new data: hit
+    assert len(P._TIGHT_BBOX_CACHE) == 1
+    assert got1 == ref1
+    assert got2 == ref2
+
+
+def test_layout_changes_get_distinct_keys(tmp_path):
+    d = np.linspace(-1.0, 1.0, 50)
+    _render(tmp_path / "a.png", d, ylim=(-3.0, 3.0))
+    _render(tmp_path / "b.png", d, ylim=(-300.0, 3.0))  # wider tick labels
+    _render(tmp_path / "c.png", d, title="Other title")
+    assert len(P._TIGHT_BBOX_CACHE) == 3
+
+    # wider-label figure must not reuse the narrow-label crop
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    ref = _render(tmp_path / "b_ref.png", d, ylim=(-300.0, 3.0))
+    assert (tmp_path / "b.png").read_bytes() == ref
+
+
+def test_3d_axes_are_uncacheable_but_still_render(tmp_path):
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(3.0, 2.0))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot([0.0, 1.0], [0.0, 1.0], [0.0, 1.0])
+    assert P._figure_layout_key(fig) is None
+    finalize_and_show_or_save(fig, tmp_path / "w.png", False)
+    assert (tmp_path / "w.png").stat().st_size > 0
+    assert len(P._TIGHT_BBOX_CACHE) == 0
