@@ -71,8 +71,10 @@ def create_figure_and_axis(
 # caching the computed crop under an exact content key makes every repeat
 # figure one draw instead of two. On a key hit the savefig call receives the
 # identical Bbox the tight pass would compute — output bytes are unchanged.
-# Figures the key cannot fully fingerprint (3D axes, legends anchored
-# outside the axes) fall back to the plain "tight" path.
+# 3D axes fingerprint via view/limits/labels (their tight bbox ignores the
+# plotted collections); figures the key cannot fully cover (legends
+# anchored outside the axes, exotic projections) fall back to the plain
+# "tight" path.
 
 _TIGHT_BBOX_CACHE: dict = {}
 _TIGHT_BBOX_CACHE_MAX = 512
@@ -115,14 +117,46 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
             tuple((t.get_text(), _round6(t.get_position())) for t in figure.texts),
         ]
         for ax in figure.get_axes():
-            if getattr(ax, "name", "rectilinear") != "rectilinear":
-                return None  # 3D axes: panes/ticks move with data-driven view
+            name = getattr(ax, "name", "rectilinear")
+            if name not in ("rectilinear", "3d"):
+                return None
             leg = ax.get_legend()
             leg_key = ()
             if leg is not None:
                 if getattr(leg, "_bbox_to_anchor", None) is not None:
                     return None  # may hang outside the axes, data-positioned
                 leg_key = tuple(t.get_text() for t in leg.get_texts())
+            if name == "3d":
+                # Axes3D.get_tightbbox covers the axes rectangle + the
+                # projected ticks/labels — NOT the plotted collections —
+                # so the crop is a function of view + limits + label
+                # strings only (verified: data 200 dB outside zlim leaves
+                # the bbox bit-identical).
+                box_aspect = ax.get_box_aspect()
+                parts.append(
+                    (
+                        "3d",
+                        _round6(ax.get_position().bounds),
+                        tuple(ax.get_title(loc=loc) for loc in ("left", "center", "right")),
+                        ax.get_xlabel(),
+                        ax.get_ylabel(),
+                        ax.get_zlabel(),
+                        _round6((ax.elev, ax.azim, getattr(ax, "roll", 0.0) or 0.0)),
+                        _round6(box_aspect) if box_aspect is not None else (),
+                        str(getattr(ax, "_focal_length", "")),
+                        _round6(ax.get_xlim()),
+                        _round6(ax.get_ylim()),
+                        _round6(ax.get_zlim()),
+                        _axis_text_key(ax.xaxis),
+                        _axis_text_key(ax.yaxis),
+                        _axis_text_key(ax.zaxis),
+                        leg_key,
+                        tuple(
+                            (t.get_text(), _round6(t.get_position())) for t in ax.texts
+                        ),
+                    )
+                )
+                continue
             parts.append(
                 (
                     _round6(ax.get_position().bounds),

@@ -1,9 +1,9 @@
 """
 Tight-bbox cache (plot._save_tight): repeat figure layouts skip savefig's
 tight layout pass. The cached crop must be BYTE-identical to the plain
-`bbox_inches="tight"` output on both the miss and hit paths, keys must
-separate layouts that crop differently, and unfingerprintable figures
-(3D axes) must fall back to the plain tight path.
+`bbox_inches="tight"` output on both the miss and hit paths (2D and 3D),
+keys must separate layouts that crop differently, and unfingerprintable
+figures must fall back to the plain tight path.
 """
 
 import numpy as np
@@ -65,13 +65,43 @@ def test_layout_changes_get_distinct_keys(tmp_path):
     assert (tmp_path / "b.png").read_bytes() == ref
 
 
-def test_3d_axes_are_uncacheable_but_still_render(tmp_path):
+def _render_3d(path, seed, elev=30.0, azim=-60.0, zlim=(-80.0, 2.0)):
     import matplotlib.pyplot as plt
 
-    fig = plt.figure(figsize=(3.0, 2.0))
+    rng = np.random.default_rng(seed)
+    f = np.logspace(np.log10(20.0), np.log10(20000.0), 64)
+    t = np.linspace(0.0, 2.0, 12)
+    mesh_x, mesh_y = np.meshgrid(np.log10(f), t)
+    z = -40.0 * mesh_y + rng.normal(0.0, 3.0, mesh_x.shape)
+    fig = plt.figure(figsize=(4.0, 2.5))
     ax = fig.add_subplot(projection="3d")
-    ax.plot([0.0, 1.0], [0.0, 1.0], [0.0, 1.0])
-    assert P._figure_layout_key(fig) is None
-    finalize_and_show_or_save(fig, tmp_path / "w.png", False)
-    assert (tmp_path / "w.png").stat().st_size > 0
-    assert len(P._TIGHT_BBOX_CACHE) == 0
+    ax.plot_surface(mesh_x, mesh_y, z, cmap="viridis", edgecolor="none")
+    ax.set_xlabel("Frequency (Hz)")
+    ax.set_ylabel("Time (s)")
+    ax.set_zlabel("Magnitude (dB rel)")
+    ax.set_zlim(*zlim)
+    ax.view_init(elev=elev, azim=azim)
+    finalize_and_show_or_save(fig, path, False)
+    return path.read_bytes()
+
+
+def test_3d_hit_byte_identical_and_view_changes_get_new_keys(tmp_path):
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    ref1 = _render_3d(tmp_path / "r1.png", seed=1)
+    ref2 = _render_3d(tmp_path / "r2.png", seed=2)  # same layout, new data
+
+    P.TIGHT_BBOX_CACHE_ENABLED = True
+    P.clear_tight_bbox_cache()
+    got1 = _render_3d(tmp_path / "c1.png", seed=1)  # miss
+    assert len(P._TIGHT_BBOX_CACHE) == 1
+    got2 = _render_3d(tmp_path / "c2.png", seed=2)  # hit
+    assert len(P._TIGHT_BBOX_CACHE) == 1
+    assert got1 == ref1
+    assert got2 == ref2
+
+    # a different view projects ticks differently -> distinct key AND a
+    # crop that still matches the uncached output
+    got3 = _render_3d(tmp_path / "c3.png", seed=1, elev=60.0)
+    assert len(P._TIGHT_BBOX_CACHE) == 2
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    assert got3 == _render_3d(tmp_path / "r3.png", seed=1, elev=60.0)
