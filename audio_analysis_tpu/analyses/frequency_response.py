@@ -35,6 +35,7 @@ from audio_analysis_tpu.plot import (
     finalize_and_show_or_save,
     hz_tick_formatter,
     label_decibel_axis,
+    render_line_figure,
 )
 
 
@@ -351,15 +352,74 @@ def render_frequency_response_plots(
     show_interactive: bool,
     title_source: str | Path,
 ) -> None:
-    """Figure + save only (host matplotlib); results come from analyse_*."""
-    figure = plot_frequency_response_figure(
-        results,
-        analysis_settings,
-        plot_settings,
-        title=f"Frequency response (spectrum) — {title_source}",
-    )
+    """Figure + save only (host matplotlib); results come from analyse_*.
+
+    Template path mirrors plot_frequency_response_figure exactly — the
+    byte-identity guard is tests/test_figure_templates.py."""
+    title = f"Frequency response (spectrum) — {title_source}"
     output_path = None if output_basename is None else suffixed_png(output_basename, "_fr")
-    finalize_and_show_or_save(figure, output_path, show_interactive)
+    if output_path is None or show_interactive:
+        figure = plot_frequency_response_figure(
+            results, analysis_settings, plot_settings, title=title
+        )
+        finalize_and_show_or_save(figure, output_path, show_interactive)
+        return
+
+    nyquist = 0.5 * float(results[0].sample_rate_hz)
+    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+
+    lines = []
+    for idx, r in enumerate(results):
+        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
+        f_plot, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
+        lines.append(
+            (
+                f_plot,
+                m_plot,
+                {
+                    "alpha": alpha,
+                    "label": (
+                        f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "
+                        f"centroid={r.spectral_centroid_hz:.0f}Hz"
+                    ),
+                },
+            )
+        )
+
+    def setup(axis):
+        axis.set_xscale("log")
+        axis.set_xticks([20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000])
+        axis.xaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
+        axis.xaxis.set_minor_locator(mticker.NullLocator())
+        axis.set_xlabel("Frequency (Hz)")
+        label_decibel_axis(axis)
+        if plot_settings.ylim_db is not None:
+            axis.set_ylim(*plot_settings.ylim_db)
+        else:
+            vals = [
+                r.magnitude_db[(r.frequency_hz >= f_min) & (r.frequency_hz <= f_max)]
+                for r in results
+            ]
+            y = np.concatenate(vals) if vals else np.array([], np.float32)
+            if y.size:
+                axis.set_ylim(
+                    float(np.percentile(y, 1.0)) - 6.0,
+                    float(np.percentile(y, 99.5)) + 6.0,
+                )
+        axis.set_xlim(f_min, f_max)
+        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+
+    render_line_figure(
+        "frequency_response",
+        (analysis_settings, plot_settings, int(results[0].sample_rate_hz), len(results)),
+        title,
+        lines,
+        output_path,
+        show_interactive,
+        legend_kwargs={"loc": "best"},
+        setup=setup,
+    )
 
 
 def summarise_frequency_response_results_text(

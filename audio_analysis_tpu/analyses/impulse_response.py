@@ -17,12 +17,11 @@ import numpy as np
 
 from audio_analysis_tpu.io import LoadedAudio, get_analysis_channels, load_wav_file
 from audio_analysis_tpu.plot import (
-    create_figure_and_axis,
     decimate_minmax,
-    finalize_and_show_or_save,
     label_amplitude_axis,
     label_decibel_axis,
     label_time_axis_seconds,
+    render_line_figure,
     time_axis_from_sample_count,
 )
 
@@ -60,36 +59,44 @@ def plot_impulse_response_waveform(
         for idx, (name, samples) in enumerate(channels)
     ]
 
-    # full waveform
-    figure, axis = create_figure_and_axis(
-        title=f"Waveform (full) - {loaded_audio.file_path.name}"
-    )
+    def _axis_setup(axis):
+        label_time_axis_seconds(axis)
+        label_amplitude_axis(axis)
+
+    # full waveform: million-sample curves -> min-max envelope at display res
+    full_lines = []
     for name, samples, alpha in plot_channels:
-        # million-sample waveform -> min-max envelope at display resolution
         t_plot, y_plot = decimate_minmax(time_axis, samples)
-        axis.plot(t_plot, y_plot, label=name, alpha=alpha)
-    axis.legend(loc="best")
-    label_time_axis_seconds(axis)
-    label_amplitude_axis(axis)
-    finalize_and_show_or_save(figure, output_path, show_interactive)
+        full_lines.append((t_plot, y_plot, {"label": name, "alpha": alpha}))
+    render_line_figure(
+        "ir_full",
+        (settings,),
+        f"Waveform (full) - {loaded_audio.file_path.name}",
+        full_lines,
+        output_path,
+        show_interactive,
+        legend_kwargs={"loc": "best"},
+        setup=_axis_setup,
+    )
 
     # early zoom
     early_n = max(1, min(int(round(settings.early_window_seconds * sr)), total))
-    figure, axis = create_figure_and_axis(
-        title=(
+    early_lines = [
+        (time_axis[:early_n], samples[:early_n], {"label": name, "alpha": alpha})
+        for name, samples, alpha in plot_channels
+    ]
+    render_line_figure(
+        "ir_early",
+        (settings,),
+        (
             f"Waveform (early {settings.early_window_seconds * 1000:.0f} ms) - "
             f"{loaded_audio.file_path.name}"
-        )
-    )
-    for name, samples, alpha in plot_channels:
-        axis.plot(time_axis[:early_n], samples[:early_n], label=name, alpha=alpha)
-    axis.legend(loc="best")
-    label_time_axis_seconds(axis)
-    label_amplitude_axis(axis)
-    finalize_and_show_or_save(
-        figure,
+        ),
+        early_lines,
         None if output_path is None else _suffix_output_path(output_path, "_early"),
         show_interactive,
+        legend_kwargs={"loc": "best"},
+        setup=_axis_setup,
     )
 
 
@@ -105,21 +112,29 @@ def plot_impulse_response_log_magnitude(
 
     channels = get_analysis_channels(loaded_audio, settings.use_mono_downmix)
 
-    figure, axis = create_figure_and_axis(
-        title=f"Log magnitude (tail) - {loaded_audio.file_path.name}"
-    )
     floor_db = float(settings.log_magnitude_floor_db)
+    lines = []
     for idx, (name, samples) in enumerate(channels):
         alpha = 1.0 if idx == 0 else 0.5
         magnitude = np.maximum(compute_log_magnitude(samples), 10.0 ** (floor_db / 20.0))
         t_plot, y_plot = decimate_minmax(time_axis, 20.0 * np.log10(magnitude))
-        axis.plot(t_plot, y_plot, alpha=alpha, label=name)
-    axis.set_ylim(bottom=floor_db)
-    label_time_axis_seconds(axis)
-    label_decibel_axis(axis)
-    if not settings.use_mono_downmix:
-        axis.legend()
-    finalize_and_show_or_save(figure, output_path, show_interactive)
+        lines.append((t_plot, y_plot, {"alpha": alpha, "label": name}))
+
+    def _axis_setup(axis):
+        axis.set_ylim(bottom=floor_db)
+        label_time_axis_seconds(axis)
+        label_decibel_axis(axis)
+
+    render_line_figure(
+        "ir_tail",
+        (settings,),
+        f"Log magnitude (tail) - {loaded_audio.file_path.name}",
+        lines,
+        output_path,
+        show_interactive,
+        legend_kwargs=None if settings.use_mono_downmix else {},
+        setup=_axis_setup,
+    )
 
 
 def plot_ir_from_wav_file(

@@ -249,6 +249,39 @@ def plot_spectrogram_from_wav_file(
     return results
 
 
+def _update_spectrogram_figure(
+    figure,
+    state: dict,
+    result: ChannelSpectrogramResult,
+    analysis_settings: SpectrogramAnalysisSettings,
+    plot_settings: SpectrogramPlotSettings,
+    title: str,
+) -> None:
+    """Re-apply the data-dependent artists of plot_spectrogram_figure
+    ("image" renderer) to a live template figure. Must mirror the data path
+    of plot_spectrogram_figure exactly — byte-identity is enforced by
+    tests/test_figure_templates.py."""
+    nyquist = 0.5 * float(result.sample_rate_hz)
+    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+    fmask = (result.frequency_hz >= f_min) & (result.frequency_hz <= f_max)
+    mag = result.magnitude_db[fmask, :]
+    if mag.size == 0:
+        raise ValueError("Spectrogram frequency selection is empty (check f_min_hz/f_max_hz).")
+    vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
+    image, _ = log_frequency_image(
+        mag, result.frequency_hz[fmask], f_min, f_max, rows=int(plot_settings.image_rows)
+    )
+    t_edges = _midpoint_edges(result.time_seconds, 1e-3)
+    mesh = state["mesh"]
+    mesh.set_data(image)
+    mesh.set_clim(vmin, vmax)
+    mesh.set_extent(
+        (float(t_edges[0]), float(t_edges[-1]), np.log10(f_min), np.log10(f_max))
+    )
+    state["axis"].set_title(title)
+
+
 def render_spectrogram_plots(
     results: List[ChannelSpectrogramResult],
     analysis_settings: SpectrogramAnalysisSettings,
@@ -258,19 +291,42 @@ def render_spectrogram_plots(
     title_source: str | Path,
 ) -> None:
     """Figures + save only (host matplotlib); results come from analyse_*."""
+    from audio_analysis_tpu import plot as _plot
+
+    use_template = (
+        output_basename is not None
+        and not show_interactive
+        and str(plot_settings.renderer).lower() != "quadmesh"
+    )
     for result in results:
-        fig = plot_spectrogram_figure(
-            result,
-            analysis_settings,
-            plot_settings,
-            title=f"Spectrogram — {title_source} — {result.channel_name}",
-        )
+        title = f"Spectrogram — {title_source} — {result.channel_name}"
         output_path = (
             None
             if output_basename is None
             else suffixed_png(output_basename, f"_spectrogram_{result.channel_name}")
         )
-        finalize_and_show_or_save(fig, output_path, show_interactive)
+        if not use_template:
+            fig = plot_spectrogram_figure(result, analysis_settings, plot_settings, title)
+            finalize_and_show_or_save(fig, output_path, show_interactive)
+            continue
+
+        def build(result=result, title=title):
+            fig = plot_spectrogram_figure(result, analysis_settings, plot_settings, title)
+            axis = fig.axes[0]
+            return fig, {"axis": axis, "mesh": axis.images[0]}
+
+        def update(fig, state, result=result, title=title):
+            _update_spectrogram_figure(
+                fig, state, result, analysis_settings, plot_settings, title
+            )
+
+        _plot.save_via_template(
+            kind="spectrogram",
+            key=(analysis_settings, plot_settings, int(result.sample_rate_hz)),
+            build=build,
+            update=update,
+            output_path=output_path,
+        )
 
 
 def summarise_spectrogram_results_text(results: List[ChannelSpectrogramResult]) -> str:

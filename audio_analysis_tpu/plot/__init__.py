@@ -63,18 +63,19 @@ def create_figure_and_axis(
 # tight-bbox cache — skip savefig's per-figure layout pass on repeat layouts.
 #
 # `bbox_inches="tight"` costs a full layout pass (tick construction + text
-# metrics, ~40 ms per figure here) BEFORE the real draw. The resulting crop
-# box is a pure function of the figure geometry and every extent-affecting
-# string (titles, axis labels, tick label strings, offset text, legend and
-# free-text contents) — the plotted DATA only moves artists that clip inside
-# the axes. A bundle report renders the same 15 figure layouts per tap, so
-# caching the computed crop under an exact content key makes every repeat
-# figure one draw instead of two. On a key hit the savefig call receives the
-# identical Bbox the tight pass would compute — output bytes are unchanged.
-# 3D axes fingerprint via view/limits/labels (their tight bbox ignores the
-# plotted collections); figures the key cannot fully cover (legends
-# anchored outside the axes, exotic projections) fall back to the plain
-# "tight" path.
+# metrics, ~40 ms per figure here) BEFORE the real draw. The tight crop is
+# the UNION of every visible artist's window extent, so it splits cleanly
+# into (a) a STABLE part — axes frame, ticks, axis labels, legend — that is
+# a pure function of the figure layout, and (b) the volatile per-call texts
+# (titles and free text carry the input path, so they change every tap of a
+# bundle). The cache stores the stable union once per layout key (computed
+# with the volatile texts hidden); each save then unions the CURRENT text
+# extents back in — a few cached text measures instead of a full layout
+# pass, and exact by construction, so output bytes match the plain "tight"
+# path even when titles differ tap to tap. 3D axes fingerprint via
+# view/limits/labels (their tight bbox ignores the plotted collections);
+# figures the key cannot fully cover (legends anchored outside the axes,
+# exotic projections) fall back to the plain "tight" path.
 
 _TIGHT_BBOX_CACHE: dict = {}
 _TIGHT_BBOX_CACHE_MAX = 512
@@ -87,6 +88,23 @@ def clear_tight_bbox_cache() -> None:
 
 def _round6(values) -> Tuple[float, ...]:
     return tuple(round(float(v), 6) for v in np.atleast_1d(values))
+
+
+def _volatile_texts(figure: plt.Figure) -> list:
+    """The per-call text artists excluded from the layout key: figure-level
+    texts (suptitle), axes titles, and free axes texts. Their extents are
+    unioned back into the crop at save time."""
+    out = list(figure.texts)
+    for ax in figure.get_axes():
+        for artist in (
+            getattr(ax, "title", None),
+            getattr(ax, "_left_title", None),
+            getattr(ax, "_right_title", None),
+        ):
+            if artist is not None:
+                out.append(artist)
+        out.extend(ax.texts)
+    return [t for t in out if t.get_visible() and t.get_text()]
 
 
 def _axis_text_key(axis) -> Optional[tuple]:
@@ -114,7 +132,6 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
         parts: list = [
             _round6(figure.get_size_inches()),
             round(float(figure.dpi), 6),
-            tuple((t.get_text(), _round6(t.get_position())) for t in figure.texts),
         ]
         for ax in figure.get_axes():
             name = getattr(ax, "name", "rectilinear")
@@ -125,7 +142,10 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
             if leg is not None:
                 if getattr(leg, "_bbox_to_anchor", None) is not None:
                     return None  # may hang outside the axes, data-positioned
-                leg_key = tuple(t.get_text() for t in leg.get_texts())
+                # an un-anchored legend is placed INSIDE the axes, whose
+                # frame+labels already bound the crop — its per-tap label
+                # strings (peak/centroid values) cannot move the tight bbox
+                leg_key = ("legend-inside", len(leg.get_texts()))
             if name == "3d":
                 # Axes3D.get_tightbbox covers the axes rectangle + the
                 # projected ticks/labels — NOT the plotted collections —
@@ -137,7 +157,6 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
                     (
                         "3d",
                         _round6(ax.get_position().bounds),
-                        tuple(ax.get_title(loc=loc) for loc in ("left", "center", "right")),
                         ax.get_xlabel(),
                         ax.get_ylabel(),
                         ax.get_zlabel(),
@@ -151,16 +170,12 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
                         _axis_text_key(ax.yaxis),
                         _axis_text_key(ax.zaxis),
                         leg_key,
-                        tuple(
-                            (t.get_text(), _round6(t.get_position())) for t in ax.texts
-                        ),
                     )
                 )
                 continue
             parts.append(
                 (
                     _round6(ax.get_position().bounds),
-                    tuple(ax.get_title(loc=loc) for loc in ("left", "center", "right")),
                     ax.get_xlabel(),
                     ax.get_ylabel(),
                     ax.get_xscale(),
@@ -170,9 +185,6 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
                     _axis_text_key(ax.xaxis),
                     _axis_text_key(ax.yaxis),
                     leg_key,
-                    tuple(
-                        (t.get_text(), _round6(t.get_position())) for t in ax.texts
-                    ),
                 )
             )
         return tuple(parts)
@@ -180,36 +192,72 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
         return None
 
 
-def _tight_bbox_for(figure: plt.Figure):
-    """The padded crop box `bbox_inches="tight"` would compute — one layout
-    pass (draw with rendering disabled), mirroring
-    backend_bases.print_figure's tight branch."""
+def _stable_tight_bbox(figure: plt.Figure):
+    """The UNPADDED tight bbox of everything except the volatile texts —
+    one layout pass (draw with rendering disabled, volatile texts hidden),
+    mirroring backend_bases.print_figure's tight branch. Hiding a title or
+    free text removes only its extent from the union: with the plain
+    subplot layouts used here (no constrained/tight layout), text
+    visibility moves no other artist."""
     from contextlib import nullcontext
 
+    texts = _volatile_texts(figure)
+    visible = [t.get_visible() for t in texts]
+    # _update_title_position recomputes hidden titles against a degenerate
+    # top edge during the draw below — snapshot positions and restore them
+    positions = [t.get_position() for t in texts]
+    try:
+        for t in texts:
+            t.set_visible(False)
+        renderer = figure.canvas.get_renderer()
+        with getattr(renderer, "_draw_disabled", nullcontext)():
+            figure.draw(renderer)
+        return figure.get_tightbbox(renderer)
+    finally:
+        for t, v, p in zip(texts, visible, positions):
+            t.set_visible(v)
+            t.set_position(p)
+
+
+def _bbox_with_volatile_texts(figure: plt.Figure, stable_bbox):
+    """Union the current volatile-text window extents (figure-inch units)
+    back into the cached stable bbox, then apply savefig's pad — the exact
+    crop the full tight pass would produce for this figure."""
+    import matplotlib.transforms as mtransforms
+
     renderer = figure.canvas.get_renderer()
-    with getattr(renderer, "_draw_disabled", nullcontext)():
-        figure.draw(renderer)
-    bbox = figure.get_tightbbox(renderer)
+    dpi = float(figure.dpi)
+    boxes = [stable_bbox]
+    for t in _volatile_texts(figure):
+        ext = t.get_window_extent(renderer)  # display pixels
+        boxes.append(
+            mtransforms.Bbox.from_extents(
+                ext.x0 / dpi, ext.y0 / dpi, ext.x1 / dpi, ext.y1 / dpi
+            )
+        )
     pad = float(matplotlib.rcParams["savefig.pad_inches"])
-    return bbox.padded(pad, pad)
+    return mtransforms.Bbox.union(boxes).padded(pad, pad)
 
 
 def _save_tight(figure: plt.Figure, target: Path) -> None:
     bbox = "tight"
     key = _figure_layout_key(figure) if TIGHT_BBOX_CACHE_ENABLED else None
     if key is not None:
-        cached = _TIGHT_BBOX_CACHE.get(key)
-        if cached is None:
+        stable = _TIGHT_BBOX_CACHE.get(key)
+        if stable is None:
             try:
-                cached = _tight_bbox_for(figure)
+                stable = _stable_tight_bbox(figure)
             except Exception:
-                cached = None
-            if cached is not None:
+                stable = None
+            if stable is not None:
                 if len(_TIGHT_BBOX_CACHE) >= _TIGHT_BBOX_CACHE_MAX:
                     _TIGHT_BBOX_CACHE.clear()
-                _TIGHT_BBOX_CACHE[key] = cached
-        if cached is not None:
-            bbox = cached
+                _TIGHT_BBOX_CACHE[key] = stable
+        if stable is not None:
+            try:
+                bbox = _bbox_with_volatile_texts(figure, stable)
+            except Exception:
+                bbox = "tight"
     # Pillow writer at compress level 1: ~2x faster PNG encode than the
     # default zlib-6 for a few % larger files. Tight bbox kept
     # (plotting.py:67 contract — same cropped dimensions).
@@ -217,6 +265,179 @@ def _save_tight(figure: plt.Figure, target: Path) -> None:
         figure.savefig(target, bbox_inches=bbox, pil_kwargs={"compress_level": 1})
     except TypeError:  # matplotlib without PIL writer support
         figure.savefig(target, bbox_inches=bbox)
+
+
+# ----------------------------------------------------------------------------
+# live figure templates — the render path draws the same ~15 figure layouts
+# for every tap of a bundle, and axes/tick/colorbar CONSTRUCTION is ~40% of
+# a figure's render cost (measured: spectrogram 376 -> 211 ms steady-state).
+# A template keeps one live figure per figure kind; update() re-applies only
+# the data-dependent artists (image data, line data, clim, extent, title).
+# Byte-identity with the fresh-figure path is enforced by a test per
+# templated kind (tests/test_figure_templates.py) so the build and update
+# paths cannot drift apart silently. Matplotlib is not thread-safe:
+# templates are module state used only by the single render thread (or one
+# per process-pool worker) — parallel/overlap.py, parallel/procpool.py.
+
+_FIGURE_TEMPLATES: dict = {}
+FIGURE_TEMPLATES_ENABLED = True
+
+
+def clear_figure_templates() -> None:
+    for _key, figure, _state in _FIGURE_TEMPLATES.values():
+        plt.close(figure)
+    _FIGURE_TEMPLATES.clear()
+
+
+def save_via_template(kind: str, key: tuple, build, update, output_path) -> None:
+    """
+    Render one PNG through a cached live figure.
+
+    `build() -> (figure, state)` constructs the full figure for the current
+    data (the ordinary plot function) and returns the artists update needs;
+    `update(figure, state)` re-applies the current data to those artists.
+    The live figure is cached per `kind`; a changed `key` (settings, sample
+    rate, channel count — anything layout-affecting) or an update failure
+    closes it and rebuilds fresh.
+    """
+    target = Path(output_path)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    if FIGURE_TEMPLATES_ENABLED:
+        entry = _FIGURE_TEMPLATES.get(kind)
+        if entry is not None and entry[0] == key and plt.fignum_exists(entry[1].number):
+            figure, state = entry[1], entry[2]
+            try:
+                update(figure, state)
+                _save_tight(figure, target)
+                return
+            except Exception:
+                _FIGURE_TEMPLATES.pop(kind, None)
+                plt.close(figure)
+    figure, state = build()
+    if FIGURE_TEMPLATES_ENABLED:
+        old = _FIGURE_TEMPLATES.pop(kind, None)
+        if old is not None:
+            plt.close(old[1])
+        _FIGURE_TEMPLATES[kind] = (key, figure, state)
+        _save_tight(figure, target)
+    else:
+        try:
+            _save_tight(figure, target)
+        finally:
+            plt.close(figure)
+
+
+def _build_line_figure(title, line_list, text_list, legend_kwargs, setup):
+    figure, axis = create_figure_and_axis(title=title)
+    artists = [axis.plot(x, y, **props)[0] for x, y, props in line_list]
+    text_artists = [axis.text(x, y, s, **props) for x, y, s, props in text_list]
+    if legend_kwargs is not None:
+        axis.legend(**legend_kwargs)
+    if setup is not None:
+        setup(axis)
+    return figure, axis, {"axis": axis, "lines": artists, "texts": text_artists}
+
+
+def render_line_figure(
+    kind: str,
+    key: tuple,
+    title: str,
+    lines,
+    output_path,
+    show_interactive: bool,
+    texts=(),
+    legend_kwargs: Optional[dict] = None,
+    setup=None,
+) -> None:
+    """
+    The one entry point for "N lines on one axes" figures: template-cached
+    PNG save when writing to disk, ordinary fresh figure otherwise
+    (interactive show, or no output path).
+    """
+    if output_path is not None and not show_interactive:
+        save_lines_via_template(
+            kind, key, output_path, title, lines,
+            texts=texts, legend_kwargs=legend_kwargs, setup=setup,
+        )
+        return
+    figure, _axis, _state = _build_line_figure(
+        title, list(lines), list(texts), legend_kwargs, setup
+    )
+    finalize_and_show_or_save(figure, output_path, show_interactive)
+
+
+def save_lines_via_template(
+    kind: str,
+    key: tuple,
+    output_path,
+    title: str,
+    lines,
+    texts=(),
+    legend_kwargs: Optional[dict] = None,
+    setup=None,
+) -> None:
+    """
+    Template-cached renderer for the common "N lines on one axes" figure.
+
+    `lines`: sequence of (x, y, props) with `props` a dict of static Line2D
+    kwargs (label, alpha, linestyle, ...). `texts`: sequence of
+    (x, y, string, props) drawn in data coordinates. `setup(axis)` applies
+    the static axis config (labels, scales, limits) and is re-run on every
+    update, AFTER autoscaling, so explicit limits win exactly as they do on
+    the fresh path. `key` must cover everything that changes artist
+    structure or static appearance: the per-line props, line/text counts,
+    scales, settings. Title, data and text strings are volatile.
+
+    Byte-identity with the fresh path holds because update reproduces the
+    fresh sequence: same artists in the same order, autoscale from the same
+    data limits, then the same static config.
+    """
+    line_list = list(lines)
+    text_list = list(texts)
+    # line labels are volatile (per-tap metrics ride in legend labels);
+    # everything else about the props is structural
+    props_key = (
+        tuple(
+            tuple(sorted((k, v) for k, v in p.items() if k != "label"))
+            + (("has_label", "label" in p),)
+            for _x, _y, p in line_list
+        ),
+        tuple(tuple(sorted(p.items())) for _x, _y, _s, p in text_list),
+        None if legend_kwargs is None else tuple(sorted(legend_kwargs.items())),
+    )
+    full_key = (key, props_key)
+
+    def build():
+        figure, axis, state = _build_line_figure(
+            title, line_list, text_list, legend_kwargs, setup
+        )
+        return figure, state
+
+    def update(figure, state):
+        axis = state["axis"]
+        if len(state["lines"]) != len(line_list) or len(state["texts"]) != len(
+            text_list
+        ):
+            raise RuntimeError("artist count changed")  # -> rebuild fresh
+        relabeled = False
+        for artist, (x, y, props) in zip(state["lines"], line_list):
+            artist.set_data(x, y)
+            if "label" in props and artist.get_label() != props["label"]:
+                artist.set_label(props["label"])
+                relabeled = True
+        for artist, (x, y, s, _props) in zip(state["texts"], text_list):
+            artist.set_position((x, y))
+            artist.set_text(s)
+        axis.autoscale(True)
+        axis.relim()
+        axis.autoscale_view()
+        if legend_kwargs is not None and relabeled:
+            axis.legend(**legend_kwargs)
+        if setup is not None:
+            setup(axis)
+        axis.set_title(title)
+
+    save_via_template(kind, full_key, build, update, output_path)
 
 
 def finalize_and_show_or_save(

@@ -56,8 +56,9 @@ def test_layout_changes_get_distinct_keys(tmp_path):
     d = np.linspace(-1.0, 1.0, 50)
     _render(tmp_path / "a.png", d, ylim=(-3.0, 3.0))
     _render(tmp_path / "b.png", d, ylim=(-300.0, 3.0))  # wider tick labels
+    # titles are volatile (unioned at save time), NOT part of the key
     _render(tmp_path / "c.png", d, title="Other title")
-    assert len(P._TIGHT_BBOX_CACHE) == 3
+    assert len(P._TIGHT_BBOX_CACHE) == 2
 
     # wider-label figure must not reuse the narrow-label crop
     P.TIGHT_BBOX_CACHE_ENABLED = False
@@ -105,3 +106,32 @@ def test_3d_hit_byte_identical_and_view_changes_get_new_keys(tmp_path):
     assert len(P._TIGHT_BBOX_CACHE) == 2
     P.TIGHT_BBOX_CACHE_ENABLED = False
     assert got3 == _render_3d(tmp_path / "r3.png", seed=1, elev=60.0)
+
+
+def test_per_tap_titles_share_one_entry(tmp_path):
+    """Bundle taps differ only in the title (the input path): they must
+    share ONE stable cache entry, and every hit render — including a title
+    wide enough to move the crop — must still match the uncached output
+    byte for byte (the save-time union re-measures the current texts)."""
+    d = np.linspace(-1.0, 1.0, 50)
+
+    titles = (
+        "Spectrogram tap00.wav",
+        "Spectrogram tap17.wav",
+        "Spectrogram " + "a_much_longer_tap_name" * 4 + ".wav",  # crop-moving
+    )
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    refs = [
+        _render(tmp_path / f"r{i}.png", d, title=t) for i, t in enumerate(titles)
+    ]
+
+    P.TIGHT_BBOX_CACHE_ENABLED = True
+    P.clear_tight_bbox_cache()
+    gots = [
+        _render(tmp_path / f"c{i}.png", d, title=t) for i, t in enumerate(titles)
+    ]
+    assert len(P._TIGHT_BBOX_CACHE) == 1  # titles are volatile, one stable key
+    for got, ref in zip(gots, refs):
+        assert got == ref
+    # the wide title must actually have produced a different (wider) crop
+    assert refs[2] != refs[0]
