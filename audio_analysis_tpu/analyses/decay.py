@@ -27,6 +27,7 @@ from audio_analysis_tpu.plot import (
     finalize_and_show_or_save,
     label_decibel_axis,
     label_time_axis_seconds,
+    render_line_figure,
 )
 
 
@@ -260,12 +261,67 @@ def render_decay_plots(
     show_interactive: bool,
     title_source: str | Path,
 ) -> None:
-    """Figure + save only (host matplotlib); results come from analyse_*."""
-    figure = plot_decay_figure(
-        results, analysis_settings, plot_settings, title=f"Decay (EDC) — {title_source}"
-    )
+    """Figure + save only (host matplotlib); results come from analyse_*.
+
+    Template path mirrors plot_decay_figure exactly — the byte-identity
+    guard is tests/test_figure_templates.py. A tap whose set of found fits
+    differs changes the line-count key and rebuilds fresh."""
+    title = f"Decay (EDC) — {title_source}"
     output_path = None if output_basename is None else suffixed_png(output_basename, "_decay")
-    finalize_and_show_or_save(figure, output_path, show_interactive)
+    if output_path is None or show_interactive:
+        figure = plot_decay_figure(results, analysis_settings, plot_settings, title=title)
+        finalize_and_show_or_save(figure, output_path, show_interactive)
+        return
+
+    lines = []
+    for idx, result in enumerate(results):
+        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
+        t_plot, edc_plot = decimate_minmax(result.time_seconds, result.edc_db)
+        lines.append((t_plot, edc_plot, {"alpha": alpha, "label": None}))
+        if plot_settings.show_fit_lines:
+            for fit_name in ("EDT", "T20", "T30"):
+                fit = result.fits.get(fit_name)
+                if fit is None:
+                    continue
+                t_line = np.array([fit.start_time_seconds, fit.end_time_seconds], np.float32)
+                y_line = fit.slope_db_per_second * t_line + fit.intercept_db
+                if fit.name == "EDT":
+                    if result.early_decay_10db_time_seconds is not None:
+                        label = (
+                            f"EDT {result.channel_name}  {fit.rt60_seconds:.2f}s  "
+                            f"Δ10dB={result.early_decay_10db_time_seconds:.3f}s"
+                        )
+                    else:
+                        label = f"EDT {result.channel_name}  {fit.rt60_seconds:.2f}s  Δ10dB=NA"
+                else:
+                    label = f"{fit.name} {result.channel_name}  {fit.rt60_seconds:.2f}s"
+                lines.append(
+                    (t_line, y_line, {"alpha": alpha, "linestyle": "--", "label": label})
+                )
+
+    def build_extras(axis):
+        axis.axhline(float(analysis_settings.t20_range_db[0]), linestyle=":", linewidth=1.0)
+        axis.axhline(float(analysis_settings.t20_range_db[1]), linestyle=":", linewidth=1.0)
+        axis.axhline(float(analysis_settings.t30_range_db[1]), linestyle=":", linewidth=1.0)
+        axis.axhline(float(analysis_settings.fit_lower_limit_db), linestyle=":", linewidth=1.0)
+
+    def setup(axis):
+        label_time_axis_seconds(axis)
+        label_decibel_axis(axis)
+        axis.set_ylim(*plot_settings.ylim_db)
+        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+
+    render_line_figure(
+        "decay",
+        (analysis_settings, plot_settings, tuple(r.channel_name for r in results)),
+        title,
+        lines,
+        output_path,
+        show_interactive,
+        legend_kwargs={"loc": "best"},
+        setup=setup,
+        build_extras=build_extras,
+    )
 
 
 def plot_decay_from_wav_file(

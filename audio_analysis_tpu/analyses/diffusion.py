@@ -28,9 +28,8 @@ from audio_analysis_tpu.analyses._common import (
 from audio_analysis_tpu.ops import diffusion as dops
 from audio_analysis_tpu.ops import transport, trim
 from audio_analysis_tpu.plot import (
-    create_figure_and_axis,
-    finalize_and_show_or_save,
     label_time_axis_seconds,
+    render_line_figure,
 )
 
 
@@ -212,39 +211,55 @@ def render_diffusion_plots(
     show_interactive: bool,
     title_source: str | Path,
 ) -> None:
-    """Figure + save only (host matplotlib); results come from analyse_*."""
-    figure, axis = create_figure_and_axis(title=f"Diffusion — {title_source}")
-    label_time_axis_seconds(axis)
-    axis.set_ylabel("Metric (unitless)")
-    axis.set_ylim(-0.05, 1.25)
+    """Figure + save only (host matplotlib); results come from analyse_*.
 
+    Rendered through the shared line-figure template (byte-identity guard:
+    tests/test_figure_templates.py)."""
+    lines = []
     for ch_i, r in enumerate(results):
         alpha = 1.0 if ch_i == 0 else 0.7
-        axis.plot(
-            r.series.time_seconds,
-            r.series.max_abs_autocorr,
-            alpha=alpha,
-            label=f"max|autocorr| {r.channel_name}",
+        lines.append(
+            (
+                r.series.time_seconds,
+                r.series.max_abs_autocorr,
+                {"alpha": alpha, "label": f"max|autocorr| {r.channel_name}"},
+            )
         )
-        axis.plot(
-            r.series.time_seconds,
-            r.series.echo_density,
-            alpha=alpha,
-            linestyle="--",
-            label=f"echo_density {r.channel_name}",
+        lines.append(
+            (
+                r.series.time_seconds,
+                r.series.echo_density,
+                {"alpha": alpha, "linestyle": "--", "label": f"echo_density {r.channel_name}"},
+            )
         )
 
     if results and results[0].series.corr0 is not None and results[0].series.iacc_max is not None:
-        axis.plot(results[0].series.time_seconds, results[0].series.corr0, linestyle=":",
-                  label="corr0 (L,R)")
-        axis.plot(results[0].series.time_seconds, results[0].series.iacc_max, linestyle="-.",
-                  label="IACC max (±lag)")
+        lines.append(
+            (results[0].series.time_seconds, results[0].series.corr0,
+             {"linestyle": ":", "label": "corr0 (L,R)"})
+        )
+        lines.append(
+            (results[0].series.time_seconds, results[0].series.iacc_max,
+             {"linestyle": "-.", "label": "IACC max (±lag)"})
+        )
 
-    axis.grid(True, which="both", linestyle=":", linewidth=0.5)
-    axis.legend(loc="best")
+    def setup(axis):
+        label_time_axis_seconds(axis)
+        axis.set_ylabel("Metric (unitless)")
+        axis.set_ylim(-0.05, 1.25)
+        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
 
     output_path = None if output_basename is None else suffixed_png(output_basename, "_diffusion")
-    finalize_and_show_or_save(figure, output_path, show_interactive)
+    render_line_figure(
+        "diffusion",
+        (tuple(r.channel_name for r in results),),
+        f"Diffusion — {title_source}",
+        lines,
+        output_path,
+        show_interactive,
+        legend_kwargs={"loc": "best"},
+        setup=setup,
+    )
 
 
 def summarise_diffusion_results_text(results: List[DiffusionChannelResult]) -> str:

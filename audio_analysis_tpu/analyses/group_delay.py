@@ -25,9 +25,8 @@ from audio_analysis_tpu.analyses._common import (
 )
 from audio_analysis_tpu.ops import spectral, trim
 from audio_analysis_tpu.plot import (
-    create_figure_and_axis,
     decimate_minmax_log,
-    finalize_and_show_or_save,
+    render_line_figure,
 )
 
 _MAX_FFT = 1 << 20
@@ -219,32 +218,46 @@ def render_group_delay_plots(
     output_basename: Optional[str | Path],
     show_interactive: bool,
 ) -> None:
-    """Figures + save only (host matplotlib); results come from analyse_*."""
+    """Figures + save only (host matplotlib); results come from analyse_*.
+
+    Template path mirrors the fresh build exactly — the byte-identity guard
+    is tests/test_figure_templates.py."""
+
+    def setup(ax):
+        ax.set_xscale("log")
+        ax.set_xlabel("Frequency (Hz)")
+        ax.set_ylabel("Group delay (samples)")
+        ax.xaxis.set_major_formatter(mticker.ScalarFormatter())
+        ax.xaxis.set_minor_locator(mticker.NullLocator())  # majors carry the scale
+        if plot_settings.ylim_samples is not None:
+            ax.set_ylim(*plot_settings.ylim_samples)
+
+    def build_extras(ax):
+        if plot_settings.show_zero_line:
+            ax.axhline(0.0, linestyle="--", linewidth=1.0)
+
     for result in results:
-        fig, ax = create_figure_and_axis(title=f"Group delay ({result.channel_name})")
         f_plot, g_plot = decimate_minmax_log(
             result.frequency_hz,
             result.group_delay_samples,
             float(result.frequency_hz[0]) if result.frequency_hz.size else 1.0,
             float(result.frequency_hz[-1]) if result.frequency_hz.size else 2.0,
         )
-        ax.plot(f_plot, g_plot)
-        ax.set_xscale("log")
-        ax.set_xlabel("Frequency (Hz)")
-        ax.set_ylabel("Group delay (samples)")
-        ax.xaxis.set_major_formatter(mticker.ScalarFormatter())
-        ax.xaxis.set_minor_locator(mticker.NullLocator())  # majors carry the scale
-        if plot_settings.show_zero_line:
-            ax.axhline(0.0, linestyle="--", linewidth=1.0)
-        if plot_settings.ylim_samples is not None:
-            ax.set_ylim(*plot_settings.ylim_samples)
-
         output_path = (
             None
             if output_basename is None
             else suffixed_png(output_basename, f"_groupdelay_{result.channel_name}")
         )
-        finalize_and_show_or_save(fig, output_path, show_interactive)
+        render_line_figure(
+            "group_delay",
+            (plot_settings,),
+            f"Group delay ({result.channel_name})",
+            [(f_plot, g_plot, {})],
+            output_path,
+            show_interactive,
+            setup=setup,
+            build_extras=build_extras,
+        )
 
 
 def summarise_group_delay_results_text(results: List[ChannelGroupDelayResult]) -> str:

@@ -307,20 +307,104 @@ def render_modal_cloud_plots(
     show_interactive: bool,
     title_source: str | Path,
 ) -> None:
-    """Figures + save only (host matplotlib); results come from analyse_*."""
+    """Figures + save only (host matplotlib); results come from analyse_*.
+
+    Template path mirrors plot_modal_cloud_figure exactly — byte-identity
+    guard: tests/test_figure_templates.py."""
+    from audio_analysis_tpu import plot as _plot
+
     for r in results:
-        fig = plot_modal_cloud_figure(
-            r,
-            analysis_settings,
-            plot_settings,
-            title=f"Modal cloud — {title_source} — {r.channel_name}",
-        )
+        title = f"Modal cloud — {title_source} — {r.channel_name}"
         output_path = (
             None
             if output_basename is None
             else suffixed_png(output_basename, f"_modalcloud_{r.channel_name}")
         )
-        finalize_and_show_or_save(fig, output_path, show_interactive)
+        med = (
+            _median_curve(r.points, plot_settings.median_octave_window)
+            if (plot_settings.show_median_curve and r.points)
+            else None
+        )
+        if output_path is None or show_interactive or not r.points:
+            # empty-points figures draw a text panel instead of a scatter —
+            # a different artist structure; keep those on the fresh path
+            fig = plot_modal_cloud_figure(r, analysis_settings, plot_settings, title)
+            finalize_and_show_or_save(fig, output_path, show_interactive)
+            continue
+
+        def build(r=r, title=title):
+            fig = plot_modal_cloud_figure(r, analysis_settings, plot_settings, title)
+            axis = fig.axes[0]
+            return fig, {
+                "axis": axis,
+                "scatter": axis.collections[0],
+                "median": axis.lines[0] if axis.lines else None,
+            }
+
+        def update(fig, state, r=r, med=med, title=title):
+            _update_modal_cloud_figure(
+                fig, state, r, med, analysis_settings, plot_settings, title
+            )
+
+        _plot.save_via_template(
+            kind="modal_cloud",
+            key=(
+                analysis_settings,
+                plot_settings,
+                int(r.sample_rate_hz),
+                r.metric,
+                med is not None,
+            ),
+            build=build,
+            update=update,
+            output_path=output_path,
+        )
+
+
+def _update_modal_cloud_figure(
+    figure,
+    state: dict,
+    result: ChannelModalCloudResult,
+    med,
+    analysis_settings: ModalCloudAnalysisSettings,
+    plot_settings: ModalCloudPlotSettings,
+    title: str,
+) -> None:
+    """Re-apply the data-dependent artists of plot_modal_cloud_figure to a
+    live template figure (non-empty points, matching median presence)."""
+    import matplotlib.transforms as mtransforms
+
+    axis = state["axis"]
+    freqs = np.array([p.centre_hz for p in result.points], np.float32)
+    rt60 = np.array([p.rt60_seconds for p in result.points], np.float32)
+    pts = np.column_stack([freqs, rt60])
+
+    scatter = state["scatter"]
+    scatter.set_offsets(pts)
+    scatter.set_label(f"{result.channel_name} ({len(result.points)} pts)")
+    if med is not None:
+        if state["median"] is None:
+            raise RuntimeError("median line missing")  # -> rebuild fresh
+        state["median"].set_data(med[0], med[1])
+        state["median"].set_label(f"{result.channel_name} median")
+
+    # replicate fresh autoscale: dataLim = scatter points U median curve
+    # (relim() ignores collections, so rebuild the limits by hand)
+    axis.dataLim = mtransforms.Bbox.null()
+    axis.dataLim.update_from_data_xy(pts, ignore=True)
+    if med is not None:
+        axis.dataLim.update_from_data_xy(np.column_stack([med[0], med[1]]), ignore=False)
+    axis.autoscale(True)
+    axis.autoscale_view()
+
+    nyquist = 0.5 * float(result.sample_rate_hz)
+    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+    apply_log_hz_xaxis(axis, f_min, f_max)
+    if plot_settings.ylim_seconds is not None:
+        axis.set_ylim(*plot_settings.ylim_seconds)
+    axis.legend(loc="best")
+    axis.set_title(title)
 
 
 def summarise_modal_cloud_results_text(results: List[ChannelModalCloudResult]) -> str:

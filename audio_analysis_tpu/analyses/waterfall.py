@@ -376,20 +376,106 @@ def render_waterfall_plots(
     show_interactive: bool,
     title_source: str | Path,
 ) -> None:
-    """Figures + save only (host matplotlib); results come from analyse_*."""
+    """Figures + save only (host matplotlib); results come from analyse_*.
+
+    The default "3d" style renders through a live figure template (the 3D
+    axes is rebuilt-free; only the surface collection is replaced per tap).
+    Byte-identity guard: tests/test_figure_templates.py."""
+    from audio_analysis_tpu import plot as _plot
+
     for r in results:
-        fig = plot_waterfall_figure(
-            r,
-            analysis_settings,
-            plot_settings,
-            title=f"Waterfall — {title_source} — {r.channel_name}",
-        )
+        title = f"Waterfall — {title_source} — {r.channel_name}"
         output_path = (
             None
             if output_basename is None
             else suffixed_png(output_basename, f"_waterfall_{r.channel_name}")
         )
-        finalize_and_show_or_save(fig, output_path, show_interactive)
+        use_template = (
+            output_path is not None
+            and not show_interactive
+            and str(plot_settings.style).lower() == "3d"
+        )
+        if not use_template:
+            fig = plot_waterfall_figure(r, analysis_settings, plot_settings, title)
+            finalize_and_show_or_save(fig, output_path, show_interactive)
+            continue
+
+        def build(r=r, title=title):
+            fig = plot_waterfall_figure(r, analysis_settings, plot_settings, title)
+            axis = fig.axes[0]
+            return fig, {"axis": axis, "surface": axis.collections[0]}
+
+        def update(fig, state, r=r, title=title):
+            _update_waterfall_3d_figure(
+                fig, state, r, analysis_settings, plot_settings, title
+            )
+
+        _plot.save_via_template(
+            kind="waterfall3d",
+            key=(analysis_settings, plot_settings, int(r.sample_rate_hz)),
+            build=build,
+            update=update,
+            output_path=output_path,
+        )
+
+
+def _update_waterfall_3d_figure(
+    figure,
+    state: dict,
+    result: ChannelWaterfallResult,
+    analysis_settings: WaterfallAnalysisSettings,
+    plot_settings: WaterfallPlotSettings,
+    title: str,
+) -> None:
+    """Replace the surface collection of a live 3D waterfall figure and
+    re-apply the data path of plot_waterfall_figure ("3d" style)."""
+    axis = state["axis"]
+    nyquist = 0.5 * float(result.sample_rate_hz)
+    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+    dyn = float(max(10.0, analysis_settings.dynamic_range_db))
+
+    freq_hz, slices_db = _pool_slices_log_f(
+        result.frequency_hz, result.slice_magnitude_rel_db, f_min, f_max
+    )
+    state["surface"].remove()
+    # mplot3d unions new data into stale limits; reset before re-adding
+    import matplotlib.transforms as mtransforms
+
+    axis.xy_dataLim = mtransforms.Bbox.null()
+    axis.zz_dataLim = mtransforms.Bbox.null()
+
+    x_log = np.log10(freq_hz.astype(np.float64))
+    mesh_x, mesh_y = np.meshgrid(x_log, result.slice_times_seconds.astype(np.float64))
+    state["surface"] = axis.plot_surface(
+        mesh_x,
+        mesh_y,
+        slices_db.astype(np.float64),
+        cmap="viridis",
+        alpha=0.8,
+        antialiased=True,
+        edgecolor="none",
+        linewidth=0,
+    )
+    # same static config sequence as the fresh build (idempotent)
+    axis.set_xlabel("Frequency (Hz)")
+    axis.set_ylabel("Time (s)")
+    axis.set_zlabel("Magnitude (dB rel)")
+    if not axis.yaxis_inverted():
+        axis.invert_yaxis()
+
+    ticks_hz = hz_major_ticks(f_min, f_max)
+    axis.set_xlim(np.log10(f_min), np.log10(f_max))
+    axis.set_xticks([np.log10(t) for t in ticks_hz])
+    axis.set_xticklabels([hz_tick_formatter(t) for t in ticks_hz])
+    if plot_settings.zlim_db is not None:
+        axis.set_zlim(*plot_settings.zlim_db)
+    else:
+        axis.set_zlim(-dyn, 2.0)
+    axis.view_init(
+        elev=float(plot_settings.elev_deg), azim=float(plot_settings.azim_deg)
+    )
+    axis.set_title(title)
 
 
 def summarise_waterfall_results_text(results: List[ChannelWaterfallResult]) -> str:

@@ -327,10 +327,12 @@ def save_via_template(kind: str, key: tuple, build, update, output_path) -> None
             plt.close(figure)
 
 
-def _build_line_figure(title, line_list, text_list, legend_kwargs, setup):
+def _build_line_figure(title, line_list, text_list, legend_kwargs, setup, build_extras):
     figure, axis = create_figure_and_axis(title=title)
     artists = [axis.plot(x, y, **props)[0] for x, y, props in line_list]
     text_artists = [axis.text(x, y, s, **props) for x, y, s, props in text_list]
+    if build_extras is not None:
+        build_extras(axis)  # static artists (axhlines, ...): added once
     if legend_kwargs is not None:
         axis.legend(**legend_kwargs)
     if setup is not None:
@@ -348,20 +350,23 @@ def render_line_figure(
     texts=(),
     legend_kwargs: Optional[dict] = None,
     setup=None,
+    build_extras=None,
 ) -> None:
     """
     The one entry point for "N lines on one axes" figures: template-cached
     PNG save when writing to disk, ordinary fresh figure otherwise
-    (interactive show, or no output path).
+    (interactive show, or no output path). `build_extras(axis)` adds static
+    artists (axhlines, ...) once per built figure.
     """
     if output_path is not None and not show_interactive:
         save_lines_via_template(
             kind, key, output_path, title, lines,
             texts=texts, legend_kwargs=legend_kwargs, setup=setup,
+            build_extras=build_extras,
         )
         return
     figure, _axis, _state = _build_line_figure(
-        title, list(lines), list(texts), legend_kwargs, setup
+        title, list(lines), list(texts), legend_kwargs, setup, build_extras
     )
     finalize_and_show_or_save(figure, output_path, show_interactive)
 
@@ -375,6 +380,7 @@ def save_lines_via_template(
     texts=(),
     legend_kwargs: Optional[dict] = None,
     setup=None,
+    build_extras=None,
 ) -> None:
     """
     Template-cached renderer for the common "N lines on one axes" figure.
@@ -409,7 +415,7 @@ def save_lines_via_template(
 
     def build():
         figure, axis, state = _build_line_figure(
-            title, line_list, text_list, legend_kwargs, setup
+            title, line_list, text_list, legend_kwargs, setup, build_extras
         )
         return figure, state
 

@@ -191,3 +191,125 @@ def test_fr_template_byte_identical(tmp_path):
     assert got_a == ref_a
     assert got_b == ref_b
     assert got_a2 == ref_a
+
+
+def test_gd_decay_diffusion_modal_templates_byte_identical(tmp_path):
+    from audio_analysis_tpu.analyses import decay as D
+    from audio_analysis_tpu.analyses import diffusion as DF
+    from audio_analysis_tpu.analyses import group_delay as G
+    from audio_analysis_tpu.analyses import modalcloud as M
+
+    def gd_results(seed, n):
+        rng = np.random.default_rng(seed)
+        f = np.linspace(20.0, 20_000.0, n)
+        return [
+            G.ChannelGroupDelayResult(name, 48_000, f, rng.normal(0, 50, n))
+            for name in ("left", "right")
+        ]
+
+    def decay_results(seed, n):
+        rng = np.random.default_rng(seed)
+        out = []
+        for name in ("left", "right"):
+            t = (np.arange(n) / 48_000.0).astype(np.float32)
+            edc = (-60.0 * t / 0.5 + rng.normal(0, 0.5, n)).astype(np.float32)
+            fits = {}
+            for fname, rdb in (("T20", (-5.0, -25.0)), ("T30", (-5.0, -35.0))):
+                fits[fname] = D.LinearDecayFit(
+                    name=fname, range_db=rdb,
+                    start_time_seconds=0.05, end_time_seconds=0.3,
+                    slope_db_per_second=-120.0 + 10 * rng.random(),
+                    intercept_db=-3.0, r_squared=0.99,
+                    rt60_seconds=0.5 + 0.1 * rng.random(),
+                )
+            out.append(
+                D.ChannelDecayAnalysis(
+                    channel_name=name, sample_rate_hz=48_000,
+                    analysis_start_sample_index=0, time_seconds=t, edc_db=edc,
+                    early_decay_10db_time_seconds=float(0.08 + 0.01 * rng.random()),
+                    fits=fits,
+                )
+            )
+        return out
+
+    def diffusion_results(seed, n):
+        rng = np.random.default_rng(seed)
+        t = (np.arange(n) * 0.01).astype(np.float32)
+        return [
+            DF.DiffusionChannelResult(
+                name, 48_000,
+                DF.DiffusionTimeSeries(
+                    time_seconds=t,
+                    max_abs_autocorr=rng.uniform(0, 1, n).astype(np.float32),
+                    echo_density=rng.uniform(0, 1.2, n).astype(np.float32),
+                    corr0=rng.uniform(-1, 1, n).astype(np.float32) if name == "left" else None,
+                    iacc_max=rng.uniform(0, 1, n).astype(np.float32) if name == "left" else None,
+                ),
+            )
+            for name in ("left", "right")
+        ]
+
+    def modal_results(seed, npts):
+        rng = np.random.default_rng(seed)
+        pts = [
+            M.ModalPoint(float(f), float(r), 0.95)
+            for f, r in zip(
+                rng.uniform(30, 18_000, npts), rng.uniform(0.1, 1.5, npts)
+            )
+        ]
+        return [M.ChannelModalCloudResult("left", 48_000, 0, 96_000, "t30", pts)]
+
+    ds, dp = D.DecayAnalysisSettings(), D.DecayPlotSettings()
+    gp = G.GroupDelayPlotSettings()
+    ms, mp = M.ModalCloudAnalysisSettings(), M.ModalCloudPlotSettings()
+
+    def render(tag, seed, n):
+        D.render_decay_plots(decay_results(seed, n), ds, dp, tmp_path / tag, False, f"t{seed}.wav")
+        G.render_group_delay_plots(gd_results(seed, n // 10), gp, tmp_path / tag, False)
+        DF.render_diffusion_plots(diffusion_results(seed, 200 + seed), tmp_path / tag, False, f"t{seed}.wav")
+        M.render_modal_cloud_plots(modal_results(seed, 150 + seed), ms, mp, tmp_path / tag, False, f"t{seed}.wav")
+        names = ["_decay", "_groupdelay_left", "_groupdelay_right", "_diffusion", "_modalcloud_left"]
+        return [(tmp_path / f"{tag}{s}.png").read_bytes() for s in names]
+
+    P.FIGURE_TEMPLATES_ENABLED = False
+    refs = [render(f"fresh{i}", i, 30_000 + 1000 * i) for i in range(3)]
+
+    P.FIGURE_TEMPLATES_ENABLED = True
+    P.clear_figure_templates()
+    gots = [render(f"tpl{i}", i, 30_000 + 1000 * i) for i in range(3)]
+    for i, (got, ref) in enumerate(zip(gots, refs)):
+        for name, g, r in zip(
+            ("decay", "gd_l", "gd_r", "diffusion", "modal"), got, ref
+        ):
+            assert g == r, f"render {i} {name} differs between template and fresh"
+
+
+def test_waterfall_3d_template_byte_identical(tmp_path):
+    from audio_analysis_tpu.analyses import waterfall as W
+
+    def wf_results(seed, n_slices):
+        rng = np.random.default_rng(seed)
+        n_bins = 2049
+        f = np.linspace(0.0, 24_000.0, n_bins).astype(np.float32)
+        times = (np.arange(n_slices) * 0.05).astype(np.float32)
+        mags = rng.uniform(-90.0, 0.0, (n_slices, n_bins)).astype(np.float32)
+        return [
+            W.ChannelWaterfallResult("left", 48_000, 0, 96_000, times, f, mags)
+        ]
+
+    s, p = W.WaterfallAnalysisSettings(), W.WaterfallPlotSettings()
+
+    def render(tag, seed, n_slices):
+        W.render_waterfall_plots(
+            wf_results(seed, n_slices), s, p, tmp_path / tag, False, f"t{seed}.wav"
+        )
+        return (tmp_path / f"{tag}_waterfall_left.png").read_bytes()
+
+    P.FIGURE_TEMPLATES_ENABLED = False
+    refs = [render(f"fresh{i}", i, 18 - i) for i in range(3)]
+
+    P.FIGURE_TEMPLATES_ENABLED = True
+    P.clear_figure_templates()
+    gots = [render(f"tpl{i}", i, 18 - i) for i in range(3)]
+    for i, (g, r) in enumerate(zip(gots, refs)):
+        assert g == r, f"waterfall render {i} differs between template and fresh"
