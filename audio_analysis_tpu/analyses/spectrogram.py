@@ -20,6 +20,7 @@ from typing import List, Optional
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import display as ops_display
 from audio_analysis_tpu.ops import stft
 from audio_analysis_tpu.plot import (
     apply_log_hz_yaxis,
@@ -58,6 +59,21 @@ class SpectrogramPlotSettings:
 
 
 @dataclass(frozen=True)
+class SpectrogramDisplayData:
+    """Display-resolution products fetched from device (ops/display):
+    the log-frequency max-pooled image and the colour-scale percentiles of
+    the full-resolution valid region. Carrying these instead of the full
+    (F, T) plane cuts the device->host bytes ~6x and skips the host
+    pooling pass entirely."""
+
+    image: np.ndarray  # (rows, T') dB, low->high frequency rows
+    p995_db: float
+    p5_db: float
+    n_fft: int
+    num_frames: int
+
+
+@dataclass(frozen=True)
 class ChannelSpectrogramResult:
     channel_name: str
     sample_rate_hz: int
@@ -65,7 +81,8 @@ class ChannelSpectrogramResult:
     analysis_length_samples: int
     time_seconds: np.ndarray  # (T,)
     frequency_hz: np.ndarray  # (F,)
-    magnitude_db: np.ndarray  # (F, T)
+    magnitude_db: np.ndarray  # (F, T); empty (0, 0) when `display` is set
+    display: Optional[SpectrogramDisplayData] = None
 
 
 def analyse_spectrogram_channels(
@@ -111,6 +128,88 @@ def analyse_spectrogram_channels(
                 ),
                 frequency_hz=stft.rfft_freqs_hz(settings.n_fft, dsp.sample_rate_hz),
                 magnitude_db=mag_db.astype(np.float32),
+            )
+        )
+    return results
+
+
+def analyse_spectrogram_display(
+    dsp: FileDsp,
+    settings: SpectrogramAnalysisSettings,
+    plot_settings: "SpectrogramPlotSettings",
+) -> List[ChannelSpectrogramResult]:
+    """
+    Display-resolution spectrogram: the (C, T, F) dB plane stays on device
+    and only the log-frequency max-pooled image + colour percentiles are
+    fetched (ops/display.pooled_log_freq_image). Results carry `display`
+    instead of `magnitude_db`; the "image" renderer and the summary use
+    them directly. The report path uses this; the full-resolution
+    analyse_spectrogram_channels stays the API for data consumers.
+    """
+    if settings.n_fft <= 0 or settings.hop_length <= 0:
+        raise ValueError("n_fft and hop_length must be positive.")
+
+    starts, seg_lens = dsp.aligned_host_meta(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+    )
+    if int(seg_lens.min()) < settings.n_fft:
+        raise ValueError(
+            "Not enough samples after trimming/selection for spectrogram (need at least n_fft)."
+        )
+
+    stft_dev = dsp.stft_db(
+        settings.trim_to_peak,
+        settings.ignore_leading_seconds,
+        settings.analysis_duration_seconds,
+        int(settings.n_fft),
+        int(settings.hop_length),
+        bool(settings.use_hann_window),
+        float(settings.floor_db),
+    )
+
+    nyquist = 0.5 * float(dsp.sample_rate_hz)
+    f_min = float(np.clip(settings.f_min_hz, 1.0, nyquist))
+    f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
+    frames_per_ch = np.array(
+        [
+            max(0, (int(l) - int(settings.n_fft)) // int(settings.hop_length) + 1)
+            for l in seg_lens
+        ],
+        np.int64,
+    )
+    images, p995, p5 = ops_display.pooled_log_freq_image(
+        stft_dev.mag_db,
+        frames_per_ch,
+        int(settings.n_fft),
+        dsp.sample_rate_hz,
+        f_min,
+        f_max,
+        rows=int(plot_settings.image_rows),
+    )
+
+    results = []
+    for i, channel_name in enumerate(dsp.channel_names):
+        t_valid = int(frames_per_ch[i])
+        results.append(
+            ChannelSpectrogramResult(
+                channel_name=str(channel_name),
+                sample_rate_hz=dsp.sample_rate_hz,
+                analysis_start_sample_index=int(starts[i]),
+                analysis_length_samples=int(seg_lens[i]),
+                time_seconds=stft.frame_times_seconds(
+                    t_valid, settings.hop_length, dsp.sample_rate_hz
+                ),
+                frequency_hz=stft.rfft_freqs_hz(settings.n_fft, dsp.sample_rate_hz),
+                magnitude_db=np.zeros((0, 0), np.float32),
+                display=SpectrogramDisplayData(
+                    image=images[i],
+                    p995_db=float(p995[i]),
+                    p5_db=float(p5[i]),
+                    n_fft=int(settings.n_fft),
+                    num_frames=t_valid,
+                ),
             )
         )
     return results
@@ -163,6 +262,27 @@ def spectrogram_color_limits(
     return vmin, vmax
 
 
+def _display_color_limits(
+    display: SpectrogramDisplayData,
+    analysis_settings: SpectrogramAnalysisSettings,
+    plot_settings: "SpectrogramPlotSettings",
+) -> tuple:
+    """spectrogram_color_limits with the percentiles precomputed on device
+    (same contract: spectrogram.py:278-289)."""
+    vmax = (
+        float(plot_settings.vmax_db)
+        if plot_settings.vmax_db is not None
+        else float(display.p995_db)
+    )
+    if plot_settings.vmin_db is not None:
+        vmin = float(plot_settings.vmin_db)
+    elif analysis_settings.dynamic_range_db is not None:
+        vmin = vmax - float(analysis_settings.dynamic_range_db)
+    else:
+        vmin = float(display.p5_db)
+    return vmin, vmax
+
+
 def _midpoint_edges(values: np.ndarray, fallback_step: float) -> np.ndarray:
     v = values.astype(np.float64)
     if v.size == 1:
@@ -183,6 +303,30 @@ def plot_spectrogram_figure(
     f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
     f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
 
+    t_edges = _midpoint_edges(result.time_seconds, 1e-3)
+
+    if result.display is not None:
+        # device-pooled image: no host pooling, percentiles precomputed
+        vmin, vmax = _display_color_limits(result.display, analysis_settings, plot_settings)
+        mesh = axis.imshow(
+            result.display.image,
+            origin="lower",
+            aspect="auto",
+            interpolation="nearest",
+            extent=(float(t_edges[0]), float(t_edges[-1]), np.log10(f_min), np.log10(f_max)),
+            vmin=vmin,
+            vmax=vmax,
+        )
+        axis.set_ylabel("Frequency (Hz)")
+        ticks = hz_major_ticks(f_min, f_max)
+        axis.set_yticks([np.log10(v) for v in ticks])
+        axis.set_yticklabels([hz_tick_formatter(v) for v in ticks])
+        axis.set_ylim(np.log10(f_min), np.log10(f_max))
+        axis.set_xlabel("Time (s)")
+        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+        figure.colorbar(mesh, ax=axis, label="Magnitude (dB)")
+        return figure
+
     fmask = (result.frequency_hz >= f_min) & (result.frequency_hz <= f_max)
     freq = result.frequency_hz[fmask]
     mag = result.magnitude_db[fmask, :]
@@ -190,8 +334,6 @@ def plot_spectrogram_figure(
         raise ValueError("Spectrogram frequency selection is empty (check f_min_hz/f_max_hz).")
 
     vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
-
-    t_edges = _midpoint_edges(result.time_seconds, 1e-3)
 
     if str(plot_settings.renderer).lower() == "quadmesh":
         f_edges = np.maximum(_midpoint_edges(freq, 1.0), 1e-6)
@@ -264,14 +406,20 @@ def _update_spectrogram_figure(
     nyquist = 0.5 * float(result.sample_rate_hz)
     f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
     f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
-    fmask = (result.frequency_hz >= f_min) & (result.frequency_hz <= f_max)
-    mag = result.magnitude_db[fmask, :]
-    if mag.size == 0:
-        raise ValueError("Spectrogram frequency selection is empty (check f_min_hz/f_max_hz).")
-    vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
-    image, _ = log_frequency_image(
-        mag, result.frequency_hz[fmask], f_min, f_max, rows=int(plot_settings.image_rows)
-    )
+    if result.display is not None:
+        vmin, vmax = _display_color_limits(result.display, analysis_settings, plot_settings)
+        image = result.display.image
+    else:
+        fmask = (result.frequency_hz >= f_min) & (result.frequency_hz <= f_max)
+        mag = result.magnitude_db[fmask, :]
+        if mag.size == 0:
+            raise ValueError(
+                "Spectrogram frequency selection is empty (check f_min_hz/f_max_hz)."
+            )
+        vmin, vmax = spectrogram_color_limits(mag, analysis_settings, plot_settings)
+        image, _ = log_frequency_image(
+            mag, result.frequency_hz[fmask], f_min, f_max, rows=int(plot_settings.image_rows)
+        )
     t_edges = _midpoint_edges(result.time_seconds, 1e-3)
     mesh = state["mesh"]
     mesh.set_data(image)
@@ -333,9 +481,13 @@ def summarise_spectrogram_results_text(results: List[ChannelSpectrogramResult]) 
     lines = []
     for r in results:
         duration_s = float(r.analysis_length_samples) / float(r.sample_rate_hz)
+        if r.display is not None:
+            n_fft, frames = r.display.n_fft, r.display.num_frames
+        else:
+            n_fft, frames = r.magnitude_db.shape[0] * 2 - 2, r.magnitude_db.shape[1]
         lines.append(
             f"[{r.channel_name}] start_sample={r.analysis_start_sample_index}  "
             f"len_samples={r.analysis_length_samples}  dur={duration_s:.3f}s  "
-            f"stft(n_fft={r.magnitude_db.shape[0] * 2 - 2}, frames={r.magnitude_db.shape[1]})"
+            f"stft(n_fft={n_fft}, frames={frames})"
         )
     return "\n".join(lines)

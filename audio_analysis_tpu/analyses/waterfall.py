@@ -20,6 +20,7 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
+from audio_analysis_tpu.ops import display as ops_display
 from audio_analysis_tpu.ops import logfreq, stft
 from audio_analysis_tpu.plot import (
     DEFAULT_DPI,
@@ -122,29 +123,29 @@ def select_slice_frame_indices(
     return np.unique(np.array(indices, dtype=np.int32))
 
 
-def _build_rel_db_slices(
-    mag_db: np.ndarray,
+def _build_rel_db_slices_from(
+    slices_db: np.ndarray,
+    frame_idx: np.ndarray,
     frame_times: np.ndarray,
     sample_rate_hz: int,
     settings: WaterfallAnalysisSettings,
+    f_min: float,
+    f_max: float,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(slice_times (S,), freq (F,), rel_db (S, F)) from one channel's STFT."""
-    frame_idx = select_slice_frame_indices(frame_times, settings)
+    """(slice_times (S,), freq (F,), rel_db (S, F)) from pre-extracted
+    frequency-selected STFT slices (ops/display.stft_frame_slices)."""
     if frame_idx.size < 2:
         raise ValueError(
             "Not enough slices selected for waterfall (increase duration or num_slices)."
         )
 
     freq_hz = stft.rfft_freqs_hz(settings.n_fft, sample_rate_hz)
-    nyquist = float(freq_hz[-1]) if freq_hz.size else 0.0
-    f_min = float(np.clip(settings.f_min_hz, 1.0, nyquist))
-    f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
     fmask = (freq_hz >= f_min) & (freq_hz <= f_max)
     if not np.any(fmask):
         raise ValueError("Waterfall frequency selection is empty (check f_min_hz/f_max_hz).")
 
     f_sel = freq_hz[fmask].astype(np.float32)
-    slices_db = mag_db[frame_idx][:, fmask].astype(np.float32)  # (S, F)
+    slices_db = np.asarray(slices_db, np.float32)  # (S, F_sel)
 
     if settings.smoothing_log_bins and int(settings.smoothing_log_bins) > 1:
         import jax.numpy as jnp
@@ -185,7 +186,12 @@ def analyse_waterfall_channels(
             "Not enough samples after trimming/selection for waterfall (need at least n_fft)."
         )
 
-    mag_all, num_frames = dsp.stft_db_host(
+    # Waterfall consumes only ~num_slices frames of the (C, T, F) plane —
+    # extract them on device (ops/display.stft_frame_slices mask-matmul)
+    # instead of fetching the ~17 MB host plane the old path shared with
+    # the spectrogram (reference waterfall.py:220-247 recomputed the full
+    # STFT per channel and sliced on host).
+    stft_dev = dsp.stft_db(
         settings.trim_to_peak,
         settings.ignore_leading_seconds,
         settings.analysis_duration_seconds,
@@ -195,12 +201,45 @@ def analyse_waterfall_channels(
         float(settings.floor_db),
     )
 
+    nyq = float(stft.rfft_freqs_hz(settings.n_fft, dsp.sample_rate_hz)[-1])
+    f_min = float(np.clip(settings.f_min_hz, 1.0, nyq))
+    f_max = float(np.clip(settings.f_max_hz, f_min, nyq))
+
+    # per-channel valid frame counts from host meta (same formula as the
+    # kernel's frame_valid: i*hop + n_fft <= length)
+    frames_per_ch = [
+        max(0, (int(l) - int(settings.n_fft)) // int(settings.hop_length) + 1)
+        for l in seg_lens
+    ]
+    idx_per_ch = []
+    for t_valid in frames_per_ch:
+        frame_times = stft.frame_times_seconds(
+            t_valid, settings.hop_length, dsp.sample_rate_hz
+        )
+        idx_per_ch.append(select_slice_frame_indices(frame_times, settings))
+    s_max = max(ix.size for ix in idx_per_ch)
+    idx_padded = np.zeros((len(idx_per_ch), s_max), np.int32)
+    for i, ix in enumerate(idx_per_ch):
+        idx_padded[i, : ix.size] = ix
+        idx_padded[i, ix.size :] = ix[-1] if ix.size else 0
+
+    slices_host = ops_display.stft_frame_slices(
+        stft_dev.mag_db, idx_padded, int(settings.n_fft), dsp.sample_rate_hz,
+        f_min, f_max,
+    )  # (C, S_max, F_sel)
+
     results = []
     for i, channel_name in enumerate(dsp.channel_names):
-        t_valid = int(num_frames[i])
+        t_valid = frames_per_ch[i]
         frame_times = stft.frame_times_seconds(t_valid, settings.hop_length, dsp.sample_rate_hz)
-        slice_times, f_sel, rel = _build_rel_db_slices(
-            mag_all[i][:t_valid], frame_times, dsp.sample_rate_hz, settings
+        slice_times, f_sel, rel = _build_rel_db_slices_from(
+            slices_host[i][: idx_per_ch[i].size],
+            idx_per_ch[i],
+            frame_times,
+            dsp.sample_rate_hz,
+            settings,
+            f_min,
+            f_max,
         )
         results.append(
             ChannelWaterfallResult(

@@ -66,6 +66,7 @@ from audio_analysis_tpu.analyses.rt60bands import (
 from audio_analysis_tpu.analyses.spectrogram import (
     SpectrogramAnalysisSettings,
     SpectrogramPlotSettings,
+    analyse_spectrogram_display,
     analyse_spectrogram_from_wav_file,
     render_spectrogram_plots,
     summarise_spectrogram_results_text,
@@ -374,15 +375,25 @@ def run_report_from_wav_file(
                     settings.spectrogram_analysis_settings or SpectrogramAnalysisSettings(),
                     settings,
                 )
-                spec_results = analyse_spectrogram_from_wav_file(
-                    input_wav_file_path, spec_settings, dsp=dsp
+                spec_plot_settings = (
+                    settings.spectrogram_plot_settings or SpectrogramPlotSettings()
                 )
+                if str(spec_plot_settings.renderer).lower() == "image":
+                    # plane stays on device; only the pooled display image
+                    # + colour percentiles cross the link (ops/display)
+                    spec_results = analyse_spectrogram_display(
+                        dsp, spec_settings, spec_plot_settings
+                    )
+                else:
+                    spec_results = analyse_spectrogram_from_wav_file(
+                        input_wav_file_path, spec_settings, dsp=dsp
+                    )
                 plots.submit(
                     partial(
                         render_spectrogram_plots,
                         spec_results,
                         spec_settings,
-                        settings.spectrogram_plot_settings or SpectrogramPlotSettings(),
+                        spec_plot_settings,
                         output_basename,
                         False,
                         input_wav_file_path,
