@@ -207,23 +207,20 @@ def analyse_decay_from_wav_file(
 # ----------------------------------------------------------------------------
 
 
-def plot_decay_figure(
+def _decay_plot_lines(
     channel_analyses: List[ChannelDecayAnalysis],
-    analysis_settings: DecayAnalysisSettings,
     plot_settings: DecayPlotSettings,
-    title: Optional[str] = None,
-):
-    figure, axis = create_figure_and_axis(title=title)
-    label_time_axis_seconds(axis)
-    label_decibel_axis(axis)
-    axis.set_ylim(*plot_settings.ylim_db)
-
+) -> List[tuple]:
+    """(x, y, Line2D-kwargs) for every decay figure line — the ONE place
+    the EDC curves and fit lines (with their labels) are constructed; both
+    the interactive figure and the templated render path consume it."""
+    lines: List[tuple] = []
     for idx, result in enumerate(channel_analyses):
         alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
         # min-max envelope decimation: the EDC spans ~10^6 samples, far
         # below pixel resolution; rendering cost must scale with pixels
         t_plot, edc_plot = decimate_minmax(result.time_seconds, result.edc_db)
-        axis.plot(t_plot, edc_plot, alpha=alpha, label=None)
+        lines.append((t_plot, edc_plot, {"alpha": alpha, "label": None}))
 
         if plot_settings.show_fit_lines:
             for fit_name in ("EDT", "T20", "T30"):
@@ -242,12 +239,34 @@ def plot_decay_figure(
                         label = f"EDT {result.channel_name}  {fit.rt60_seconds:.2f}s  Δ10dB=NA"
                 else:
                     label = f"{fit.name} {result.channel_name}  {fit.rt60_seconds:.2f}s"
-                axis.plot(t_line, y_line, alpha=alpha, linestyle="--", label=label)
+                lines.append(
+                    (t_line, y_line, {"alpha": alpha, "linestyle": "--", "label": label})
+                )
+    return lines
 
+
+def _decay_axhlines(axis, analysis_settings: DecayAnalysisSettings) -> None:
     axis.axhline(float(analysis_settings.t20_range_db[0]), linestyle=":", linewidth=1.0)
     axis.axhline(float(analysis_settings.t20_range_db[1]), linestyle=":", linewidth=1.0)
     axis.axhline(float(analysis_settings.t30_range_db[1]), linestyle=":", linewidth=1.0)
     axis.axhline(float(analysis_settings.fit_lower_limit_db), linestyle=":", linewidth=1.0)
+
+
+def plot_decay_figure(
+    channel_analyses: List[ChannelDecayAnalysis],
+    analysis_settings: DecayAnalysisSettings,
+    plot_settings: DecayPlotSettings,
+    title: Optional[str] = None,
+):
+    figure, axis = create_figure_and_axis(title=title)
+    label_time_axis_seconds(axis)
+    label_decibel_axis(axis)
+    axis.set_ylim(*plot_settings.ylim_db)
+
+    for x, y, props in _decay_plot_lines(channel_analyses, plot_settings):
+        axis.plot(x, y, **props)
+
+    _decay_axhlines(axis, analysis_settings)
     axis.grid(True, which="both", linestyle=":", linewidth=0.5)
     axis.legend(loc="best")
     return figure
@@ -273,37 +292,10 @@ def render_decay_plots(
         finalize_and_show_or_save(figure, output_path, show_interactive)
         return
 
-    lines = []
-    for idx, result in enumerate(results):
-        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        t_plot, edc_plot = decimate_minmax(result.time_seconds, result.edc_db)
-        lines.append((t_plot, edc_plot, {"alpha": alpha, "label": None}))
-        if plot_settings.show_fit_lines:
-            for fit_name in ("EDT", "T20", "T30"):
-                fit = result.fits.get(fit_name)
-                if fit is None:
-                    continue
-                t_line = np.array([fit.start_time_seconds, fit.end_time_seconds], np.float32)
-                y_line = fit.slope_db_per_second * t_line + fit.intercept_db
-                if fit.name == "EDT":
-                    if result.early_decay_10db_time_seconds is not None:
-                        label = (
-                            f"EDT {result.channel_name}  {fit.rt60_seconds:.2f}s  "
-                            f"Δ10dB={result.early_decay_10db_time_seconds:.3f}s"
-                        )
-                    else:
-                        label = f"EDT {result.channel_name}  {fit.rt60_seconds:.2f}s  Δ10dB=NA"
-                else:
-                    label = f"{fit.name} {result.channel_name}  {fit.rt60_seconds:.2f}s"
-                lines.append(
-                    (t_line, y_line, {"alpha": alpha, "linestyle": "--", "label": label})
-                )
+    lines = _decay_plot_lines(results, plot_settings)
 
     def build_extras(axis):
-        axis.axhline(float(analysis_settings.t20_range_db[0]), linestyle=":", linewidth=1.0)
-        axis.axhline(float(analysis_settings.t20_range_db[1]), linestyle=":", linewidth=1.0)
-        axis.axhline(float(analysis_settings.t30_range_db[1]), linestyle=":", linewidth=1.0)
-        axis.axhline(float(analysis_settings.fit_lower_limit_db), linestyle=":", linewidth=1.0)
+        _decay_axhlines(axis, analysis_settings)
 
     def setup(axis):
         label_time_axis_seconds(axis)

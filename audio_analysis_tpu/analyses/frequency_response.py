@@ -270,18 +270,53 @@ def analyse_frequency_response_from_wav_file(
     return analyse_frequency_response_channels(dsp, settings)
 
 
-def plot_frequency_response_figure(
+def _fr_band_limits(
     channel_results: List[ChannelFrequencyResponse],
     analysis_settings: FrequencyResponseAnalysisSettings,
-    plot_settings: FrequencyResponsePlotSettings,
-    title: Optional[str] = None,
-):
-    figure, axis = create_figure_and_axis(title=title)
-
+) -> Tuple[float, float]:
     nyquist = 0.5 * float(channel_results[0].sample_rate_hz)
     f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
     f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
+    return f_min, f_max
 
+
+def _fr_plot_lines(
+    channel_results: List[ChannelFrequencyResponse],
+    plot_settings: FrequencyResponsePlotSettings,
+    f_min: float,
+    f_max: float,
+) -> List[tuple]:
+    """(x, y, Line2D-kwargs) for the FR figure — the ONE construction both
+    the interactive figure and the templated render path consume."""
+    lines: List[tuple] = []
+    for idx, r in enumerate(channel_results):
+        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
+        # 500k-bin spectrum -> log-bucketed min-max envelope at display res
+        f_plot, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
+        lines.append(
+            (
+                f_plot,
+                m_plot,
+                {
+                    "alpha": alpha,
+                    "label": (
+                        f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "
+                        f"centroid={r.spectral_centroid_hz:.0f}Hz"
+                    ),
+                },
+            )
+        )
+    return lines
+
+
+def _fr_axis_setup(
+    axis,
+    channel_results: List[ChannelFrequencyResponse],
+    plot_settings: FrequencyResponsePlotSettings,
+    f_min: float,
+    f_max: float,
+) -> None:
+    """Static FR axis config, idempotent (shared by both render paths)."""
     axis.set_xscale("log")
     axis.set_xticks([20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000])
     axis.xaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
@@ -301,22 +336,20 @@ def plot_frequency_response_figure(
             axis.set_ylim(float(np.percentile(y, 1.0)) - 6.0, float(np.percentile(y, 99.5)) + 6.0)
 
     axis.set_xlim(f_min, f_max)
-
-    for idx, r in enumerate(channel_results):
-        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        # 500k-bin spectrum -> log-bucketed min-max envelope at display res
-        f_plot, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
-        axis.plot(
-            f_plot,
-            m_plot,
-            alpha=alpha,
-            label=(
-                f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "
-                f"centroid={r.spectral_centroid_hz:.0f}Hz"
-            ),
-        )
-
     axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+
+
+def plot_frequency_response_figure(
+    channel_results: List[ChannelFrequencyResponse],
+    analysis_settings: FrequencyResponseAnalysisSettings,
+    plot_settings: FrequencyResponsePlotSettings,
+    title: Optional[str] = None,
+):
+    figure, axis = create_figure_and_axis(title=title)
+    f_min, f_max = _fr_band_limits(channel_results, analysis_settings)
+    for x, y, props in _fr_plot_lines(channel_results, plot_settings, f_min, f_max):
+        axis.plot(x, y, **props)
+    _fr_axis_setup(axis, channel_results, plot_settings, f_min, f_max)
     axis.legend(loc="best")
     return figure
 
@@ -365,50 +398,11 @@ def render_frequency_response_plots(
         finalize_and_show_or_save(figure, output_path, show_interactive)
         return
 
-    nyquist = 0.5 * float(results[0].sample_rate_hz)
-    f_min = float(np.clip(analysis_settings.f_min_hz, 1.0, nyquist))
-    f_max = float(np.clip(analysis_settings.f_max_hz, f_min, nyquist))
-
-    lines = []
-    for idx, r in enumerate(results):
-        alpha = 1.0 if idx == 0 else float(plot_settings.secondary_channel_alpha)
-        f_plot, m_plot = decimate_minmax_log(r.frequency_hz, r.magnitude_db, f_min, f_max)
-        lines.append(
-            (
-                f_plot,
-                m_plot,
-                {
-                    "alpha": alpha,
-                    "label": (
-                        f"{r.channel_name}  peak={r.peak_frequency_hz:.0f}Hz  "
-                        f"centroid={r.spectral_centroid_hz:.0f}Hz"
-                    ),
-                },
-            )
-        )
+    f_min, f_max = _fr_band_limits(results, analysis_settings)
+    lines = _fr_plot_lines(results, plot_settings, f_min, f_max)
 
     def setup(axis):
-        axis.set_xscale("log")
-        axis.set_xticks([20, 50, 100, 200, 500, 1000, 2000, 5000, 10000, 20000])
-        axis.xaxis.set_major_formatter(mticker.FuncFormatter(hz_tick_formatter))
-        axis.xaxis.set_minor_locator(mticker.NullLocator())
-        axis.set_xlabel("Frequency (Hz)")
-        label_decibel_axis(axis)
-        if plot_settings.ylim_db is not None:
-            axis.set_ylim(*plot_settings.ylim_db)
-        else:
-            vals = [
-                r.magnitude_db[(r.frequency_hz >= f_min) & (r.frequency_hz <= f_max)]
-                for r in results
-            ]
-            y = np.concatenate(vals) if vals else np.array([], np.float32)
-            if y.size:
-                axis.set_ylim(
-                    float(np.percentile(y, 1.0)) - 6.0,
-                    float(np.percentile(y, 99.5)) + 6.0,
-                )
-        axis.set_xlim(f_min, f_max)
-        axis.grid(True, which="both", linestyle=":", linewidth=0.5)
+        _fr_axis_setup(axis, results, plot_settings, f_min, f_max)
 
     render_line_figure(
         "frequency_response",

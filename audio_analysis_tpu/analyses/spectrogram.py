@@ -172,9 +172,10 @@ def analyse_spectrogram_display(
     nyquist = 0.5 * float(dsp.sample_rate_hz)
     f_min = float(np.clip(settings.f_min_hz, 1.0, nyquist))
     f_max = float(np.clip(settings.f_max_hz, f_min, nyquist))
+    # host mirror of the kernel's frame_valid count (ops/stft.py:131)
     frames_per_ch = np.array(
         [
-            max(0, (int(l) - int(settings.n_fft)) // int(settings.hop_length) + 1)
+            stft.num_frames_static(int(l), int(settings.n_fft), int(settings.hop_length))
             for l in seg_lens
         ],
         np.int64,

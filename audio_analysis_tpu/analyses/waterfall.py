@@ -205,10 +205,10 @@ def analyse_waterfall_channels(
     f_min = float(np.clip(settings.f_min_hz, 1.0, nyq))
     f_max = float(np.clip(settings.f_max_hz, f_min, nyq))
 
-    # per-channel valid frame counts from host meta (same formula as the
-    # kernel's frame_valid: i*hop + n_fft <= length)
+    # per-channel valid frame counts from host meta (host mirror of the
+    # kernel's frame_valid, ops/stft.py:131)
     frames_per_ch = [
-        max(0, (int(l) - int(settings.n_fft)) // int(settings.hop_length) + 1)
+        stft.num_frames_static(int(l), int(settings.n_fft), int(settings.hop_length))
         for l in seg_lens
     ]
     idx_per_ch = []

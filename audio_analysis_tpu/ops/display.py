@@ -47,12 +47,19 @@ _NEG = np.float32(-3.0e38)
 _DB_SCALE = 256.0  # 1/256-dB int16 fixed point (same as the plane fetches)
 
 
+def _freqs_f32(n_fft: int, sample_rate_hz: int) -> np.ndarray:
+    """The float32 rfft frequency grid — the SAME dtype the host figure
+    code compares against (ops.stft.rfft_freqs_hz); float64 here could
+    disagree by one bin at the f_min/f_max boundaries."""
+    return np.fft.rfftfreq(n_fft, d=1.0 / float(sample_rate_hz)).astype(np.float32)
+
+
 def freq_selection(n_fft: int, sample_rate_hz: int, f_min: float, f_max: float):
     """The contiguous rfft-bin range [i0, i1) inside [f_min, f_max] — the
     same selection as `freq_hz[fmask]` in the figure code (frequencies are
     ascending, so the mask is one contiguous run)."""
-    freq = np.fft.rfftfreq(n_fft, d=1.0 / float(sample_rate_hz))
-    mask = (freq >= f_min) & (freq <= f_max)
+    freq = _freqs_f32(n_fft, sample_rate_hz)
+    mask = (freq >= np.float32(f_min)) & (freq <= np.float32(f_max))
     if not np.any(mask):
         raise ValueError("empty frequency selection")
     idx = np.nonzero(mask)[0]
@@ -73,8 +80,7 @@ def _log_row_select(
     max(x[i : i+2^k]). Row ranges replicate plot.log_frequency_image:
     log-spaced edges, searchsorted, nearest-bin for sub-bin rows.
     """
-    freq = np.fft.rfftfreq(n_fft, d=1.0 / float(sample_rate_hz))
-    freq_sel = freq[i0:i1]
+    freq_sel = _freqs_f32(n_fft, sample_rate_hz)[i0:i1]
     n_sel = freq_sel.size
     edges = np.logspace(np.log10(f_min), np.log10(f_max), rows + 1)
     idx = np.searchsorted(freq_sel, edges).clip(0, n_sel)
@@ -101,24 +107,28 @@ def _log_row_select(
     return sel, levels
 
 
-# one resident device copy of each selection matrix (they are a few MB and
-# shared by every tap of a bundle)
+# one resident device copy of each selection matrix (~60 MB at the default
+# 720 rows x 6 levels x ~1700 bins), shared by every tap of a bundle;
+# bounded FIFO so mixed-rate batch jobs don't grow HBM without limit
 _SEL_DEVICE: dict = {}
+_SEL_DEVICE_MAX = 3
 
 
 def _sel_on_device(key) -> jnp.ndarray:
     entry = _SEL_DEVICE.get(key)
     if entry is None:
         sel, _levels = _log_row_select(*key)
+        if len(_SEL_DEVICE) >= _SEL_DEVICE_MAX:
+            _SEL_DEVICE.pop(next(iter(_SEL_DEVICE)))
         entry = jax.device_put(sel)
         _SEL_DEVICE[key] = entry
     return entry
 
 
 @functools.partial(
-    jax.jit, static_argnames=("i0", "i1", "cols", "rows", "levels", "col_pool")
+    jax.jit, static_argnames=("i0", "i1", "rows", "levels", "col_pool")
 )
-def _pooled_image_dev(mag_tf, num_frames, sel, i0, i1, cols, rows, levels, col_pool):
+def _pooled_image_dev(mag_tf, num_frames, sel, i0, i1, rows, levels, col_pool):
     c, t, _f = mag_tf.shape
     x = mag_tf[:, :, i0:i1]
     n_sel = x.shape[-1]
@@ -197,7 +207,7 @@ def pooled_log_freq_image(
     nf = jnp.asarray(np.asarray(num_frames_host, np.int32))
     packed = np.asarray(
         _pooled_image_dev(
-            mag_tf, nf, sel_dev, i0, i1, int(cols), int(rows), int(levels), int(col_pool)
+            mag_tf, nf, sel_dev, i0, i1, int(rows), int(levels), int(col_pool)
         )
     )
     plane = packed.astype(np.float32) * (1.0 / _DB_SCALE)

@@ -145,6 +145,21 @@ def _figure_layout_key(figure: plt.Figure) -> Optional[tuple]:
                 # an un-anchored legend is placed INSIDE the axes, whose
                 # frame+labels already bound the crop — its per-tap label
                 # strings (peak/centroid values) cannot move the tight bbox
+                # ... UNLESS the legend is so large it overflows the frame.
+                # Conservatively over-estimate its size from the label
+                # extents; bail to the plain tight pass when it could poke.
+                renderer = figure.canvas.get_renderer()
+                widths, heights = [0.0], [0.0]
+                for t in leg.get_texts():
+                    ext = t.get_window_extent(renderer)
+                    widths.append(float(ext.width))
+                    heights.append(float(ext.height))
+                fs = float(leg.prop.get_size_in_points()) * figure.dpi / 72.0
+                est_w = max(widths) + 4.0 * fs  # handle + pads
+                est_h = sum(heights) * 1.6 + 2.0 * fs
+                ax_bbox = ax.get_window_extent(renderer)
+                if est_w > 0.95 * ax_bbox.width or est_h > 0.95 * ax_bbox.height:
+                    return None
                 leg_key = ("legend-inside", len(leg.get_texts()))
             if name == "3d":
                 # Axes3D.get_tightbbox covers the axes rectangle + the

@@ -135,3 +135,33 @@ def test_per_tap_titles_share_one_entry(tmp_path):
         assert got == ref
     # the wide title must actually have produced a different (wider) crop
     assert refs[2] != refs[0]
+
+
+def test_oversized_legend_falls_back_to_plain_tight(tmp_path):
+    """A legend whose labels could overflow the axes frame must NOT reuse a
+    cached stable crop (the legend is excluded from the volatile-text
+    union) — the key builder bails and the output still matches plain
+    tight byte for byte."""
+    d = np.linspace(-1.0, 1.0, 50)
+
+    def render_with_labels(path, labels):
+        fig, ax = create_figure_and_axis("T", figure_size=(4.0, 2.5))
+        for i, lab in enumerate(labels):
+            ax.plot(np.arange(50), d + i, label=lab)
+        ax.legend(loc="best")
+        finalize_and_show_or_save(fig, path, False)
+        return path.read_bytes()
+
+    long_labels = ["X" * 120, "Y" * 120]
+    P.TIGHT_BBOX_CACHE_ENABLED = False
+    ref = render_with_labels(tmp_path / "ref.png", long_labels)
+
+    P.TIGHT_BBOX_CACHE_ENABLED = True
+    P.clear_tight_bbox_cache()
+    got = render_with_labels(tmp_path / "got.png", long_labels)
+    assert len(P._TIGHT_BBOX_CACHE) == 0  # guard bailed: nothing cached
+    assert got == ref
+
+    # ordinary labels still cache
+    render_with_labels(tmp_path / "ok.png", ["left", "right"])
+    assert len(P._TIGHT_BBOX_CACHE) == 1
