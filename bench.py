@@ -369,7 +369,45 @@ def bench_mesh_scaling() -> dict:
         os.unlink(path)
 
 
+def _device_reachable(timeout_seconds: float = 180.0) -> bool:
+    """Probe the accelerator with a tiny op on a daemon thread. The dev
+    relay occasionally wedges outright (hours, not the usual 10-150x
+    stalls); without this guard the bench would hang forever instead of
+    recording WHY there is no number."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        float((x @ x).sum())  # scalar fetch: forces a device round-trip
+        ok.append(jax.default_backend())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_seconds)
+    return bool(ok)
+
+
 def main() -> None:
+    if not _device_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "irs_per_sec_stft_edc",
+                    "value": 0.0,
+                    "unit": "IR/s",
+                    "vs_baseline": 0.0,
+                    "error": "accelerator unreachable: device probe timed out "
+                    "(dev relay wedged); no measurement possible this run",
+                }
+            )
+        )
+        raise SystemExit(1)
+
     device = bench_device()
     device_irs_per_sec = BATCH / device["device_seconds"]
 
