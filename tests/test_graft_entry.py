@@ -46,21 +46,29 @@ __graft_entry__.dryrun_multichip(8)
 """
 
 
-def _cpu_subprocess_env(n_devices: int = 8) -> dict:
+def _cpu_subprocess_env(n_devices: int = 8, jax_platforms: str | None = "cpu") -> dict:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    if jax_platforms is None:
+        # Leave platform selection to jax (and to dryrun_multichip's own
+        # jax_platforms="cpu" override) — the driver may not export
+        # JAX_PLATFORMS=cpu itself.
+        env.pop("JAX_PLATFORMS", None)
+    else:
+        env["JAX_PLATFORMS"] = jax_platforms
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
     env["PYTHONPATH"] = os.pathsep.join(filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)]))
     return env
 
 
-def _run_worker(tmp_path, name: str, source: str) -> subprocess.CompletedProcess:
+def _run_worker(
+    tmp_path, name: str, source: str, jax_platforms: str | None = "cpu"
+) -> subprocess.CompletedProcess:
     worker = tmp_path / name
     worker.write_text(source)
     return subprocess.run(
         [sys.executable, str(worker)],
-        env=_cpu_subprocess_env(),
+        env=_cpu_subprocess_env(jax_platforms=jax_platforms),
         cwd=REPO_ROOT,
         capture_output=True,
         timeout=600,
@@ -75,5 +83,13 @@ def test_import_every_module_is_device_free(tmp_path):
 
 def test_dryrun_multichip_8_virtual_devices(tmp_path):
     run = _run_worker(tmp_path, "dryrun_worker.py", _DRYRUN_WORKER)
+    assert run.returncode == 0, run.stderr.decode()[-3000:]
+    assert b"dryrun_multichip ok" in run.stdout, run.stdout.decode()[-1000:]
+
+
+def test_dryrun_multichip_without_jax_platforms_env(tmp_path):
+    """dryrun must self-select CPU even when JAX_PLATFORMS isn't exported —
+    its own jax.config jax_platforms="cpu" override is what's under test."""
+    run = _run_worker(tmp_path, "dryrun_worker2.py", _DRYRUN_WORKER, jax_platforms=None)
     assert run.returncode == 0, run.stderr.decode()[-3000:]
     assert b"dryrun_multichip ok" in run.stdout, run.stdout.decode()[-1000:]
