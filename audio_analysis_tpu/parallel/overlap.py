@@ -17,9 +17,24 @@ keep the per-tap isolation semantics of the bundle runner.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
-from typing import Callable, List, Optional, Tuple
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+
+# internal drain/idle marker jobs are not render work — never timed
+_IDLE_LABEL = "__plot_worker_idle__"
+
+
+def _job_kind(job: Callable[[], None]) -> str:
+    """Stable name for a render job: the underlying function of a partial
+    (the report submits `partial(render_decay_plots, ...)` etc.)."""
+    fn = job
+    while isinstance(fn, functools.partial):
+        fn = fn.func
+    return getattr(fn, "__name__", type(fn).__name__)
 
 
 class PlotWorker:
@@ -38,6 +53,11 @@ class PlotWorker:
             queue.Queue(maxsize=max(2, max_pending_jobs))
         )
         self._errors: List[Tuple[Optional[str], BaseException]] = []
+        # per-render-function wall seconds/counts, written only by the worker
+        # thread and read after drain — the cheap profile behind
+        # reports/plot_timings.json
+        self._kind_seconds: Dict[str, float] = {}
+        self._kind_counts: Dict[str, int] = {}
         self._thread = threading.Thread(target=self._run, name="plot-worker", daemon=True)
         self._thread.start()
 
@@ -47,18 +67,35 @@ class PlotWorker:
             if item is None:
                 return
             job, label = item
+            if label == _IDLE_LABEL:
+                job()
+                continue
+            kind = _job_kind(job)
+            start = time.perf_counter()
             try:
                 job()
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._errors.append((label, exc))
+            finally:
+                self._kind_seconds[kind] = self._kind_seconds.get(kind, 0.0) + (
+                    time.perf_counter() - start
+                )
+                self._kind_counts[kind] = self._kind_counts.get(kind, 0) + 1
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         self._queue.put((job, label))
 
     def _wait_idle(self) -> None:
         done = threading.Event()
-        self._queue.put((done.set, None))
+        self._queue.put((done.set, _IDLE_LABEL))
         done.wait()
+
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
+        """{render_fn_name: (total_seconds, jobs)} — call after drain()."""
+        return {
+            kind: (self._kind_seconds[kind], self._kind_counts[kind])
+            for kind in sorted(self._kind_seconds, key=self._kind_seconds.get, reverse=True)
+        }
 
     def drain(self) -> None:
         """Block until every submitted job ran; re-raise the first failure."""
@@ -127,15 +164,34 @@ class MaybePlotWorker:
     def __init__(self, enabled: bool) -> None:
         self._worker = PlotWorker() if enabled else None
         self._sync_errors: List[Tuple[Optional[str], BaseException]] = []
+        self._sync_kind_seconds: Dict[str, float] = {}
+        self._sync_kind_counts: Dict[str, int] = {}
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         if self._worker is None:
+            kind = _job_kind(job)
+            start = time.perf_counter()
             try:
                 job()
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._sync_errors.append((label, exc))
+            finally:
+                self._sync_kind_seconds[kind] = self._sync_kind_seconds.get(kind, 0.0) + (
+                    time.perf_counter() - start
+                )
+                self._sync_kind_counts[kind] = self._sync_kind_counts.get(kind, 0) + 1
         else:
             self._worker.submit(job, label)
+
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
+        if self._worker is not None:
+            return self._worker.timings_by_kind()
+        return {
+            kind: (self._sync_kind_seconds[kind], self._sync_kind_counts[kind])
+            for kind in sorted(
+                self._sync_kind_seconds, key=self._sync_kind_seconds.get, reverse=True
+            )
+        }
 
     def drain(self) -> None:
         if self._worker is not None:

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import os
+import time
 from concurrent.futures import FIRST_COMPLETED, Future, ProcessPoolExecutor, wait
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
+
+from audio_analysis_tpu.parallel.overlap import _job_kind
 
 
 def _worker_init() -> None:
@@ -31,6 +34,15 @@ def _worker_init() -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+def _run_timed(job: Callable[[], None]) -> float:
+    """Top-level (picklable) wrapper: run the render job in the child and
+    return its wall seconds there, so the parent's timings_by_kind can
+    aggregate per-kind cost even for remote renders."""
+    start = time.perf_counter()
+    job()
+    return time.perf_counter() - start
 
 
 class ProcessPlotPool:
@@ -49,25 +61,39 @@ class ProcessPlotPool:
             initializer=_worker_init,
         )
         self._max_pending = max(2, max_pending_jobs)
-        self._pending: List[Tuple[Optional[str], Future]] = []
+        self._pending: List[Tuple[Optional[str], str, Future]] = []
         self._errors: List[Tuple[Optional[str], BaseException]] = []
+        # per-kind CHILD wall seconds (summed across workers, so totals can
+        # exceed parent wall time when renders run concurrently)
+        self._kind_seconds: Dict[str, float] = {}
+        self._kind_counts: Dict[str, int] = {}
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
-        while sum(not f.done() for _, f in self._pending) >= self._max_pending:
-            wait([f for _, f in self._pending if not f.done()], return_when=FIRST_COMPLETED)
+        while sum(not f.done() for _, _, f in self._pending) >= self._max_pending:
+            wait([f for _, _, f in self._pending if not f.done()], return_when=FIRST_COMPLETED)
         try:
-            future = self._pool.submit(job)
+            future = self._pool.submit(_run_timed, job)
         except BaseException as exc:  # noqa: BLE001 — pool broken; surfaced in drain()
             self._errors.append((label, exc))
             return
-        self._pending.append((label, future))
+        self._pending.append((label, _job_kind(job), future))
 
     def _collect(self) -> None:
         pending, self._pending = self._pending, []
-        for label, future in pending:
+        for label, kind, future in pending:
             exc = future.exception()  # waits for completion
             if exc is not None:
                 self._errors.append((label, exc))
+                continue
+            self._kind_seconds[kind] = self._kind_seconds.get(kind, 0.0) + future.result()
+            self._kind_counts[kind] = self._kind_counts.get(kind, 0) + 1
+
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
+        """{render_fn_name: (total_child_seconds, jobs)} — call after drain()."""
+        return {
+            kind: (self._kind_seconds[kind], self._kind_counts[kind])
+            for kind in sorted(self._kind_seconds, key=self._kind_seconds.get, reverse=True)
+        }
 
     def drain(self) -> None:
         """Block until every submitted job ran; re-raise the first failure."""

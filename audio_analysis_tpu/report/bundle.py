@@ -100,7 +100,20 @@ def run_bundle_report(
         # drain even when a tap raised, so no figure jobs keep writing PNGs
         # after this function has returned/raised
         plot_failures = plot_worker.drain_collect()
+        plot_timings = plot_worker.timings_by_kind()
         plot_worker.close()
+
+    if plot_timings:
+        (reports_root / "plot_timings.json").write_text(
+            json.dumps(
+                {
+                    kind: {"seconds": round(seconds, 4), "jobs": jobs}
+                    for kind, (seconds, jobs) in plot_timings.items()
+                },
+                indent=1,
+            )
+            + "\n"
+        )
 
     if plot_failures and not settings.continue_on_error:
         raise plot_failures[0][1]
