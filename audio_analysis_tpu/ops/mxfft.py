@@ -54,9 +54,14 @@ def _split(n: int) -> tuple[int, int]:
 
 
 @lru_cache(maxsize=16)
-def _dft_matrices(n: int):
+def _dft_matrices(n: int, n1: int | None = None):
     """Host-side (numpy) DFT + twiddle factor tables for size n = n1*n2."""
-    n1, n2 = _split(n)
+    if n1 is None:
+        n1, n2 = _split(n)
+    else:
+        if n % n1:
+            raise ValueError(f"n1={n1} must divide n={n}")
+        n2 = n // n1
     a = np.arange(n1)
     f1 = np.exp(-2j * np.pi * np.outer(a, a) / n1)  # (c, a)
     b = np.arange(n2)
@@ -73,10 +78,24 @@ def _dft_matrices(n: int):
     )
 
 
-def rfft_mx(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
+def rfft_mx(
+    x: jnp.ndarray,
+    n: int | None = None,
+    *,
+    k_out: int | None = None,
+    n1: int | None = None,
+) -> jnp.ndarray:
     """
-    MXU rfft over the last axis: (..., N) float32 -> (..., N//2+1) complex64.
-    N must be a power of two >= 4. Matches jnp.fft.rfft bin order/scaling.
+    MXU rfft over the last axis: (..., N) float32 -> (..., K) complex64,
+    K = k_out or N//2+1. N must be a power of two >= 4. Matches
+    jnp.fft.rfft(x, n)[..., :k_out] bin order/scaling (same construction,
+    fewer stage-2 columns; the different matmul shape reorders accumulation,
+    so values differ from the full transform's at the level of the method's
+    own ~1e-5 relative error) — consumers that only need bins below some
+    f_max (the modal cloud stops at 20 kHz of a 24 kHz Nyquist) skip the
+    proportional share of stage-2 work and of every downstream plane.
+    `n1` overrides the stage split (must divide N); default is the balanced
+    power-of-two split.
     """
     if n is None:
         n = x.shape[-1]
@@ -84,8 +103,11 @@ def rfft_mx(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
         x = x[..., :n] if x.shape[-1] > n else jnp.pad(
             x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         )
-    f1r, f1i, f2_full, twr, twi, n1, n2 = _dft_matrices(n)
-    k_out = n // 2 + 1
+    f1r, f1i, f2_full, twr, twi, n1, n2 = _dft_matrices(n, n1)
+    if k_out is None:
+        k_out = n // 2 + 1
+    if not (1 <= k_out <= n // 2 + 1):
+        raise ValueError(f"k_out={k_out} outside [1, {n // 2 + 1}]")
     # stage-2 DFT restricted to the rfft half: d = 0 .. ceil(k_out / n1)
     d_max = (k_out + n1 - 1) // n1  # d indices 0..d_max-1 cover all k < n1*d_max
 
@@ -117,9 +139,11 @@ def rfft_mx(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     return jax.lax.complex(xr, xi)
 
 
-def rfft_mx_magnitude(x: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
+def rfft_mx_magnitude(
+    x: jnp.ndarray, n: int | None = None, *, k_out: int | None = None
+) -> jnp.ndarray:
     """|rfft| over the last axis without materialising complex output."""
-    spec = rfft_mx(x, n)
+    spec = rfft_mx(x, n, k_out=k_out)
     return jnp.abs(spec).astype(jnp.float32)
 
 

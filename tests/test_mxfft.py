@@ -101,3 +101,28 @@ def test_diffusion_mx_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-5, err_msg=name
             )
+
+
+@pytest.mark.parametrize("n1", [None, 128])
+def test_rfft_k_out_trim_matches_full(n1):
+    """k_out (and an n1 split override) restrict stage 2 to the requested
+    bins; values match the full transform at the method's own error level
+    (the reshaped matmuls reorder accumulation, so not bit-equal)."""
+    n, k_out = 8192, 3415  # the modal block's 20 kHz cut of a 24 kHz Nyquist
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)[..., :k_out]
+    with _cpu():
+        got = np.asarray(rfft_mx(jnp.asarray(x), k_out=k_out, n1=n1))
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(np.fft.rfft(x, axis=-1)))
+    assert err < 1e-5, err
+
+
+def test_rfft_k_out_validation():
+    x = jnp.zeros((2, 64), jnp.float32)
+    with _cpu():
+        with pytest.raises(ValueError):
+            rfft_mx(x, k_out=64 // 2 + 2)
+        with pytest.raises(ValueError):
+            rfft_mx(x, n1=48)
