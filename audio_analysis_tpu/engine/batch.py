@@ -86,6 +86,12 @@ class EngineConfig:
     modal_min_bins: int = 24
     modal_min_fit_points: int = 10
     modal_min_peak_db_above_floor: float = 20.0
+    # Stop the modal STFT at the last rfft bin any log bin uses (f_max is
+    # 20 kHz of a 24 kHz Nyquist -> bins 3415.. of 4097 are zero-weight in
+    # the bin matrix): stage-2 of the mx FFT and the magnitude/binning
+    # planes shrink by the same ~17%. Off = bit-compatible with round-2
+    # output (the trimmed matmul shape reorders accumulation at ~1e-4 dB).
+    modal_trim_bins: bool = False
 
     # diffusion with the report defaults (report.py:360-361)
     diffusion_window_seconds: float = 0.050
@@ -337,6 +343,12 @@ def analyze_batch(
     # ---- modal cloud ----
     if config.run_modal:
         centres, bin_matrix, nonempty = _modal_bin_matrix(config)
+        k_out = None
+        if config.modal_trim_bins:
+            nonzero_cols = np.nonzero(bin_matrix.any(axis=0))[0]
+            if nonzero_cols.size:
+                k_out = int(nonzero_cols[-1]) + 1
+                bin_matrix = bin_matrix[:, :k_out]
         bin_matrix_dev = jnp.asarray(bin_matrix)
 
         floor_lin = 10.0 ** (config.magnitude_floor_db / 20.0)
@@ -351,6 +363,7 @@ def analyze_batch(
                 True,
                 floor_lin,
                 config.stft_fft_impl,
+                k_out,
             )
             # bin means in LINEAR magnitude (one matmul), dB once at the end
             binned = jax.lax.dot_general(

@@ -74,18 +74,28 @@ def hann_window(n_fft: int) -> np.ndarray:
     return np.hanning(n_fft).astype(np.float32)
 
 
-def _frame_rfft(frames: jnp.ndarray, fft_impl: str) -> jnp.ndarray:
+def _frame_rfft(
+    frames: jnp.ndarray, fft_impl: str, k_out: int | None = None
+) -> jnp.ndarray:
     """rfft over the last axis; "mx" = MXU-factored matmul FFT (ops/mxfft.py,
-    ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft."""
+    ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft.
+    `k_out` keeps only the first k_out bins (the mx path skips computing the
+    rest; the XLA path slices, which XLA fuses into the consumer)."""
     if fft_impl == "mx":
         from audio_analysis_tpu.ops.mxfft import rfft_mx
 
-        return rfft_mx(frames)
-    return jnp.fft.rfft(frames, axis=-1)
+        return rfft_mx(frames, k_out=k_out)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return spec if k_out is None else spec[..., :k_out]
 
 
 def _linear_magnitude(
-    x: jnp.ndarray, n_fft: int, hop: int, use_hann_window: bool, fft_impl: str
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    use_hann_window: bool,
+    fft_impl: str,
+    k_out: int | None = None,
 ) -> jnp.ndarray:
     """Un-floored |STFT| via the selected implementation. "pallas" uses the
     fused VMEM kernel when the default backend is TPU and the shape
@@ -94,18 +104,19 @@ def _linear_magnitude(
         from audio_analysis_tpu.ops import pallas_stft
 
         if pallas_stft.supports(n_fft, hop) and jax.default_backend() == "tpu":
-            return pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window)
+            mag = pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window)
+            return mag if k_out is None else mag[..., :k_out]
         fft_impl = "mx"
     window = jnp.asarray(hann_window(n_fft)) if use_hann_window else jnp.ones(
         (n_fft,), dtype=jnp.float32
     )
     frames = frame_signal(x, n_fft, hop) * window
-    return jnp.abs(_frame_rfft(frames, fft_impl)).astype(jnp.float32)
+    return jnp.abs(_frame_rfft(frames, fft_impl, k_out)).astype(jnp.float32)
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl"),
+    static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl", "k_out"),
 )
 def stft_magnitude(
     x: jnp.ndarray,
@@ -115,16 +126,18 @@ def stft_magnitude(
     use_hann_window: bool = True,
     floor_lin: float = 0.0,
     fft_impl: str = "xla",
+    k_out: int | None = None,
 ) -> StftLinearResult:
     """
     Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
     invalid frames zeroed. Consumers that aggregate in linear magnitude
     (modal cloud bin means, modalcloud.py:193-205) use this directly and
     convert to dB once after aggregation — skipping two transcendental
-    passes over the full (T, F) plane.
+    passes over the full (T, F) plane. `k_out` returns only the first k_out
+    bins (consumers with an f_max cut skip the work above it).
     """
     mag = jnp.maximum(
-        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl), floor_lin
+        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl, k_out), floor_lin
     )
 
     t = mag.shape[-2]
