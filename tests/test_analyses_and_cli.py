@@ -254,6 +254,15 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     assert (root / "reports" / "bad" / "error.txt").exists()
     assert (root / "reports" / "good" / "good_report.md").exists()
 
+    # per-kind render timings land next to the index
+    import json as _json
+
+    timings = _json.loads((root / "reports" / "plot_timings.json").read_text())
+    assert timings, "expected at least one render kind"
+    for kind, row in timings.items():
+        assert kind.startswith(("render_", "plot_")), kind
+        assert row["jobs"] >= 1 and row["seconds"] >= 0.0
+
     # resume skips the completed tap
     index2 = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
     assert "(cached)" in index2.read_text()
