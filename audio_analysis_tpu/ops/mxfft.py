@@ -53,15 +53,20 @@ def _split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-@lru_cache(maxsize=16)
 def _dft_matrices(n: int, n1: int | None = None):
-    """Host-side (numpy) DFT + twiddle factor tables for size n = n1*n2."""
+    """Host-side (numpy) DFT + twiddle factor tables for size n = n1*n2.
+    The cache key is normalised to the concrete split so (n,), (n, None)
+    and (n, default_n1) share one table set."""
     if n1 is None:
-        n1, n2 = _split(n)
-    else:
-        if n % n1:
-            raise ValueError(f"n1={n1} must divide n={n}")
-        n2 = n // n1
+        n1 = _split(n)[0]
+    if n % n1:
+        raise ValueError(f"n1={n1} must divide n={n}")
+    return _dft_matrices_cached(n, n1)
+
+
+@lru_cache(maxsize=16)
+def _dft_matrices_cached(n: int, n1: int):
+    n2 = n // n1
     a = np.arange(n1)
     f1 = np.exp(-2j * np.pi * np.outer(a, a) / n1)  # (c, a)
     b = np.arange(n2)

@@ -24,8 +24,9 @@ import time
 from typing import Callable, Dict, List, Optional, Tuple
 
 
-# internal drain/idle marker jobs are not render work — never timed
-_IDLE_LABEL = "__plot_worker_idle__"
+# internal drain/idle marker: compared by object identity so no caller label
+# (tap names, output paths) can ever collide with it
+_IDLE = object()
 
 
 def _job_kind(job: Callable[[], None]) -> str:
@@ -35,6 +36,25 @@ def _job_kind(job: Callable[[], None]) -> str:
     while isinstance(fn, functools.partial):
         fn = fn.func
     return getattr(fn, "__name__", type(fn).__name__)
+
+
+class KindTimer:
+    """Wall seconds + job counts per render-function name. Not locked: each
+    worker flavor confines writes to one thread and reads after drain."""
+
+    def __init__(self) -> None:
+        self._seconds: Dict[str, float] = {}
+        self._counts: Dict[str, int] = {}
+
+    def add(self, kind: str, seconds: float) -> None:
+        self._seconds[kind] = self._seconds.get(kind, 0.0) + seconds
+        self._counts[kind] = self._counts.get(kind, 0) + 1
+
+    def as_sorted(self) -> Dict[str, Tuple[float, int]]:
+        return {
+            kind: (self._seconds[kind], self._counts[kind])
+            for kind in sorted(self._seconds, key=self._seconds.get, reverse=True)
+        }
 
 
 class PlotWorker:
@@ -56,8 +76,7 @@ class PlotWorker:
         # per-render-function wall seconds/counts, written only by the worker
         # thread and read after drain — the cheap profile behind
         # reports/plot_timings.json
-        self._kind_seconds: Dict[str, float] = {}
-        self._kind_counts: Dict[str, int] = {}
+        self._timer = KindTimer()
         self._thread = threading.Thread(target=self._run, name="plot-worker", daemon=True)
         self._thread.start()
 
@@ -67,7 +86,7 @@ class PlotWorker:
             if item is None:
                 return
             job, label = item
-            if label == _IDLE_LABEL:
+            if label is _IDLE:
                 job()
                 continue
             kind = _job_kind(job)
@@ -77,25 +96,19 @@ class PlotWorker:
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._errors.append((label, exc))
             finally:
-                self._kind_seconds[kind] = self._kind_seconds.get(kind, 0.0) + (
-                    time.perf_counter() - start
-                )
-                self._kind_counts[kind] = self._kind_counts.get(kind, 0) + 1
+                self._timer.add(kind, time.perf_counter() - start)
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         self._queue.put((job, label))
 
     def _wait_idle(self) -> None:
         done = threading.Event()
-        self._queue.put((done.set, _IDLE_LABEL))
+        self._queue.put((done.set, _IDLE))
         done.wait()
 
     def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
         """{render_fn_name: (total_seconds, jobs)} — call after drain()."""
-        return {
-            kind: (self._kind_seconds[kind], self._kind_counts[kind])
-            for kind in sorted(self._kind_seconds, key=self._kind_seconds.get, reverse=True)
-        }
+        return self._timer.as_sorted()
 
     def drain(self) -> None:
         """Block until every submitted job ran; re-raise the first failure."""
@@ -164,8 +177,7 @@ class MaybePlotWorker:
     def __init__(self, enabled: bool) -> None:
         self._worker = PlotWorker() if enabled else None
         self._sync_errors: List[Tuple[Optional[str], BaseException]] = []
-        self._sync_kind_seconds: Dict[str, float] = {}
-        self._sync_kind_counts: Dict[str, int] = {}
+        self._sync_timer = KindTimer()
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         if self._worker is None:
@@ -176,22 +188,14 @@ class MaybePlotWorker:
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._sync_errors.append((label, exc))
             finally:
-                self._sync_kind_seconds[kind] = self._sync_kind_seconds.get(kind, 0.0) + (
-                    time.perf_counter() - start
-                )
-                self._sync_kind_counts[kind] = self._sync_kind_counts.get(kind, 0) + 1
+                self._sync_timer.add(kind, time.perf_counter() - start)
         else:
             self._worker.submit(job, label)
 
     def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
         if self._worker is not None:
             return self._worker.timings_by_kind()
-        return {
-            kind: (self._sync_kind_seconds[kind], self._sync_kind_counts[kind])
-            for kind in sorted(
-                self._sync_kind_seconds, key=self._sync_kind_seconds.get, reverse=True
-            )
-        }
+        return self._sync_timer.as_sorted()
 
     def drain(self) -> None:
         if self._worker is not None:

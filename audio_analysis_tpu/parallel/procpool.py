@@ -25,7 +25,7 @@ import time
 from concurrent.futures import FIRST_COMPLETED, Future, ProcessPoolExecutor, wait
 from typing import Callable, Dict, List, Optional, Tuple
 
-from audio_analysis_tpu.parallel.overlap import _job_kind
+from audio_analysis_tpu.parallel.overlap import KindTimer, _job_kind
 
 
 def _worker_init() -> None:
@@ -36,13 +36,20 @@ def _worker_init() -> None:
     os.environ.setdefault("MPLBACKEND", "Agg")
 
 
-def _run_timed(job: Callable[[], None]) -> float:
+def _run_timed(job: Callable[[], None]) -> Tuple[float, Optional[BaseException]]:
     """Top-level (picklable) wrapper: run the render job in the child and
-    return its wall seconds there, so the parent's timings_by_kind can
-    aggregate per-kind cost even for remote renders."""
+    return (wall seconds there, error-or-None), so the parent's
+    timings_by_kind costs remote renders — including failed ones, which
+    still burn the time they burned. (If a raised error can't be pickled,
+    the executor surfaces the pickling failure via future.exception() and
+    only that job's timing is lost.)"""
     start = time.perf_counter()
-    job()
-    return time.perf_counter() - start
+    try:
+        job()
+        err: Optional[BaseException] = None
+    except BaseException as exc:  # noqa: BLE001 — reported via drain()
+        err = exc
+    return time.perf_counter() - start, err
 
 
 class ProcessPlotPool:
@@ -65,8 +72,7 @@ class ProcessPlotPool:
         self._errors: List[Tuple[Optional[str], BaseException]] = []
         # per-kind CHILD wall seconds (summed across workers, so totals can
         # exceed parent wall time when renders run concurrently)
-        self._kind_seconds: Dict[str, float] = {}
-        self._kind_counts: Dict[str, int] = {}
+        self._timer = KindTimer()
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         while sum(not f.done() for _, _, f in self._pending) >= self._max_pending:
@@ -81,19 +87,18 @@ class ProcessPlotPool:
     def _collect(self) -> None:
         pending, self._pending = self._pending, []
         for label, kind, future in pending:
-            exc = future.exception()  # waits for completion
+            exc = future.exception()  # waits for completion; pool-level only
             if exc is not None:
                 self._errors.append((label, exc))
                 continue
-            self._kind_seconds[kind] = self._kind_seconds.get(kind, 0.0) + future.result()
-            self._kind_counts[kind] = self._kind_counts.get(kind, 0) + 1
+            seconds, err = future.result()
+            self._timer.add(kind, seconds)
+            if err is not None:
+                self._errors.append((label, err))
 
     def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
         """{render_fn_name: (total_child_seconds, jobs)} — call after drain()."""
-        return {
-            kind: (self._kind_seconds[kind], self._kind_counts[kind])
-            for kind in sorted(self._kind_seconds, key=self._kind_seconds.get, reverse=True)
-        }
+        return self._timer.as_sorted()
 
     def drain(self) -> None:
         """Block until every submitted job ran; re-raise the first failure."""

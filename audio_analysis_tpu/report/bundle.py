@@ -103,17 +103,18 @@ def run_bundle_report(
         plot_timings = plot_worker.timings_by_kind()
         plot_worker.close()
 
-    if plot_timings:
-        (reports_root / "plot_timings.json").write_text(
-            json.dumps(
-                {
-                    kind: {"seconds": round(seconds, 4), "jobs": jobs}
-                    for kind, (seconds, jobs) in plot_timings.items()
-                },
-                indent=1,
-            )
-            + "\n"
+    # always written (an empty {} for a fully-cached resume or a no-figure
+    # run) so a stale previous run's costs can't masquerade as this run's
+    (reports_root / "plot_timings.json").write_text(
+        json.dumps(
+            {
+                kind: {"seconds": round(seconds, 4), "jobs": jobs}
+                for kind, (seconds, jobs) in plot_timings.items()
+            },
+            indent=1,
         )
+        + "\n"
+    )
 
     if plot_failures and not settings.continue_on_error:
         raise plot_failures[0][1]

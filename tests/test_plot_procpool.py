@@ -82,6 +82,11 @@ def test_process_pool_isolates_job_failures(tmp_path):
     assert label == "tap3"
     assert "render failed on purpose" in str(exc)
 
+    # failed jobs still burned child time — they must appear in the timings
+    timings = pool.timings_by_kind()
+    assert "_boom" in timings and timings["_boom"][1] == 1
+    assert "_ok" in timings and timings["_ok"][1] == 1
+
 
 def test_process_pool_matches_thread_worker(tmp_path):
     from audio_analysis_tpu.io.bundle import write_bundle
