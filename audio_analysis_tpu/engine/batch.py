@@ -92,6 +92,10 @@ class EngineConfig:
     # planes shrink by the same ~17%. Off = bit-compatible with round-2
     # output (the trimmed matmul shape reorders accumulation at ~1e-4 dB).
     modal_trim_bins: bool = False
+    # mx stage split override for the modal 8192 FFT (None = balanced
+    # 64x128; 128 puts the stage-1 contraction at the MXU-native 128) —
+    # scripts/bench_modal_variants.py measures the candidates
+    modal_fft_n1: int | None = None
 
     # diffusion with the report defaults (report.py:360-361)
     diffusion_window_seconds: float = 0.050
@@ -364,6 +368,7 @@ def analyze_batch(
                 floor_lin,
                 config.stft_fft_impl,
                 k_out,
+                config.modal_fft_n1,
             )
             # bin means in LINEAR magnitude (one matmul), dB once at the end
             binned = jax.lax.dot_general(

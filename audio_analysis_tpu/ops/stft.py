@@ -75,16 +75,20 @@ def hann_window(n_fft: int) -> np.ndarray:
 
 
 def _frame_rfft(
-    frames: jnp.ndarray, fft_impl: str, k_out: int | None = None
+    frames: jnp.ndarray,
+    fft_impl: str,
+    k_out: int | None = None,
+    fft_n1: int | None = None,
 ) -> jnp.ndarray:
     """rfft over the last axis; "mx" = MXU-factored matmul FFT (ops/mxfft.py,
     ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft.
     `k_out` keeps only the first k_out bins (the mx path skips computing the
-    rest; the XLA path slices, which XLA fuses into the consumer)."""
+    rest; the XLA path slices, which XLA fuses into the consumer); `fft_n1`
+    overrides the mx stage split (ignored by the XLA path)."""
     if fft_impl == "mx":
         from audio_analysis_tpu.ops.mxfft import rfft_mx
 
-        return rfft_mx(frames, k_out=k_out)
+        return rfft_mx(frames, k_out=k_out, n1=fft_n1)
     spec = jnp.fft.rfft(frames, axis=-1)
     return spec if k_out is None else spec[..., :k_out]
 
@@ -96,6 +100,7 @@ def _linear_magnitude(
     use_hann_window: bool,
     fft_impl: str,
     k_out: int | None = None,
+    fft_n1: int | None = None,
 ) -> jnp.ndarray:
     """Un-floored |STFT| via the selected implementation. "pallas" uses the
     fused VMEM kernel when the default backend is TPU and the shape
@@ -111,12 +116,14 @@ def _linear_magnitude(
         (n_fft,), dtype=jnp.float32
     )
     frames = frame_signal(x, n_fft, hop) * window
-    return jnp.abs(_frame_rfft(frames, fft_impl, k_out)).astype(jnp.float32)
+    return jnp.abs(_frame_rfft(frames, fft_impl, k_out, fft_n1)).astype(jnp.float32)
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl", "k_out"),
+    static_argnames=(
+        "n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl", "k_out", "fft_n1"
+    ),
 )
 def stft_magnitude(
     x: jnp.ndarray,
@@ -127,6 +134,7 @@ def stft_magnitude(
     floor_lin: float = 0.0,
     fft_impl: str = "xla",
     k_out: int | None = None,
+    fft_n1: int | None = None,
 ) -> StftLinearResult:
     """
     Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
@@ -137,7 +145,8 @@ def stft_magnitude(
     bins (consumers with an f_max cut skip the work above it).
     """
     mag = jnp.maximum(
-        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl, k_out), floor_lin
+        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl, k_out, fft_n1),
+        floor_lin,
     )
 
     t = mag.shape[-2]
