@@ -377,7 +377,7 @@ def bench_mesh_scaling() -> dict:
         os.unlink(path)
 
 
-def _device_reachable(timeout_seconds: float = 180.0) -> bool:
+def _device_reachable(timeout_seconds: float = 300.0) -> bool:
     """Probe the accelerator with a tiny op on a daemon thread. The dev
     relay occasionally wedges outright (hours, not the usual 10-150x
     stalls); without this guard the bench would hang forever instead of
