@@ -387,6 +387,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from audio_analysis_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     args = build_parser().parse_args(argv)
     cmd = str(args.command_name)
 

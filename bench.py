@@ -377,27 +377,58 @@ def bench_mesh_scaling() -> dict:
         os.unlink(path)
 
 
-def _device_reachable(timeout_seconds: float = 300.0) -> bool:
-    """Probe the accelerator with a tiny op on a daemon thread. The dev
-    relay occasionally wedges outright (hours, not the usual 10-150x
-    stalls); without this guard the bench would hang forever instead of
-    recording WHY there is no number."""
-    import threading
+# os._exit: with the pool down, interpreter EXIT can hang in the axon
+# plugin's teardown even after compute succeeded — don't let a successful
+# probe be vetoed by atexit. (The axon register hook also pins
+# jax_platforms="axon,cpu", so a probe child can NOT be redirected to CPU
+# via env — the probe genuinely exercises the accelerator.)
+_PROBE_SRC = (
+    "import os, jax, jax.numpy as jnp;"
+    "x = jnp.ones((8, 8));"
+    "print('PROBE_OK', float((x @ x).sum()), jax.default_backend(), flush=True);"
+    "os._exit(0)"
+)
 
-    ok = []
 
-    def probe():
-        import jax
-        import jax.numpy as jnp
+def _device_reachable(
+    total_deadline_seconds: float = 1500.0,
+    attempt_seconds: float = 300.0,
+    probe_src: str = _PROBE_SRC,
+) -> bool:
+    """Probe the accelerator with a tiny op in SUBPROCESSES, retrying until
+    an overall deadline. The dev relay occasionally drops for minutes to
+    hours; a single in-process probe (the previous design) both hung the
+    bench on a wedged relay and could not retry (backend init latches once
+    per process). Each attempt is a fresh interpreter; a hung attempt is
+    abandoned, never waited on (SIGKILL on a D-state child can block
+    forever). Only after a subprocess round-trips do we let this process
+    initialise its own backend."""
+    import subprocess
+    import sys as _sys
+    import time as _time
 
-        x = jnp.ones((8, 8))
-        float((x @ x).sum())  # scalar fetch: forces a device round-trip
-        ok.append(jax.default_backend())
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_seconds)
-    return bool(ok)
+    deadline = _time.monotonic() + total_deadline_seconds
+    while True:
+        proc = subprocess.Popen(
+            [_sys.executable, "-c", probe_src],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            start_new_session=True,
+        )
+        t0 = _time.monotonic()
+        while proc.poll() is None and _time.monotonic() - t0 < attempt_seconds:
+            _time.sleep(2.0)
+        if proc.returncode == 0 and "PROBE_OK" in (proc.stdout.read() or ""):
+            return True
+        if proc.poll() is None:
+            try:
+                proc.kill()  # best effort; do NOT wait on it
+            except Exception:
+                pass
+        if _time.monotonic() >= deadline:
+            return False
+        _time.sleep(min(60.0, max(1.0, deadline - _time.monotonic())))
 
 
 def main() -> None:

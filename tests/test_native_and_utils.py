@@ -242,3 +242,32 @@ def test_native_pcm24_decode(tmp_path):
     assert (nframes, ch, rate) == (frames, 1, SR)
     rate2, decoded = native.read_wav(p)
     np.testing.assert_allclose(decoded, values, atol=2e-7)
+
+
+def test_platform_override_pins_jax_platforms():
+    """AA_PLATFORM=cpu must pin jax_platforms in a fresh interpreter even
+    though the axon startup hook re-pins "axon,cpu" after env processing
+    (utils/platform.py; plain JAX_PLATFORMS=cpu is NOT honored here)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, AA_PLATFORM="cpu")
+    src = (
+        "from audio_analysis_tpu.utils.platform import apply_platform_override;"
+        "import jax;"
+        "v = apply_platform_override();"
+        "assert v == 'cpu', v;"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms;"
+        "print('override ok')"
+    )
+    run = subprocess.run(
+        [sys.executable, "-c", src],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "override ok" in run.stdout
