@@ -30,7 +30,14 @@ from audio_analysis_tpu.parallel.overlap import KindTimer, _job_kind
 
 def _worker_init() -> None:
     # Runs in the child before any job: keep jax off the TPU tunnel and
-    # matplotlib on the headless raster backend.
+    # matplotlib on the headless raster backend. The env pins alone are
+    # NOT enough: spawn children run sitecustomize (which re-pins
+    # jax_platforms) before this initializer, and JAX_PLATFORMS is
+    # processed before that hook — only a post-hook config update sticks
+    # (utils/platform.py). Env pops still help any grandchildren.
+    from audio_analysis_tpu.utils.platform import pin_platform
+
+    pin_platform("cpu")
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ.setdefault("MPLBACKEND", "Agg")

@@ -19,6 +19,24 @@ from __future__ import annotations
 import os
 
 
+def pin_platform(value: str) -> bool:
+    """Pin ``jax_platforms`` to ``value`` (e.g. "cpu") for this process.
+
+    Must run before the first jax operation; importing jax is fine. This
+    is the only pin that sticks under the axon startup hook — setting
+    ``JAX_PLATFORMS`` in ``os.environ`` is processed before the hook
+    re-pins and is therefore ignored. Returns False if the pin could not
+    be applied (backends already initialised).
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", value)
+    except Exception:
+        return False
+    return True
+
+
 def apply_platform_override(env_var: str = "AA_PLATFORM") -> str | None:
     """If ``env_var`` is set, pin ``jax_platforms`` to its value.
 
@@ -30,10 +48,4 @@ def apply_platform_override(env_var: str = "AA_PLATFORM") -> str | None:
     value = os.environ.get(env_var, "").strip()
     if not value:
         return None
-    import jax
-
-    try:
-        jax.config.update("jax_platforms", value)
-    except Exception:
-        return None
-    return value
+    return value if pin_platform(value) else None
