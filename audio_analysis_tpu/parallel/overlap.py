@@ -45,14 +45,18 @@ class KindTimer:
     def __init__(self) -> None:
         self._seconds: Dict[str, float] = {}
         self._counts: Dict[str, int] = {}
+        # first job per kind pays the figure-template build (plot/PLOTTING.md);
+        # recording it separately makes amortisation visible in plot_timings.json
+        self._first: Dict[str, float] = {}
 
     def add(self, kind: str, seconds: float) -> None:
         self._seconds[kind] = self._seconds.get(kind, 0.0) + seconds
         self._counts[kind] = self._counts.get(kind, 0) + 1
+        self._first.setdefault(kind, seconds)
 
-    def as_sorted(self) -> Dict[str, Tuple[float, int]]:
+    def as_sorted(self) -> Dict[str, Tuple[float, int, float]]:
         return {
-            kind: (self._seconds[kind], self._counts[kind])
+            kind: (self._seconds[kind], self._counts[kind], self._first[kind])
             for kind in sorted(self._seconds, key=self._seconds.get, reverse=True)
         }
 
@@ -106,8 +110,8 @@ class PlotWorker:
         self._queue.put((done.set, _IDLE))
         done.wait()
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
-        """{render_fn_name: (total_seconds, jobs)} — call after drain()."""
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
+        """{render_fn_name: (total_seconds, jobs, first_job_seconds)} — call after drain()."""
         return self._timer.as_sorted()
 
     def drain(self) -> None:
@@ -192,7 +196,7 @@ class MaybePlotWorker:
         else:
             self._worker.submit(job, label)
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
         if self._worker is not None:
             return self._worker.timings_by_kind()
         return self._sync_timer.as_sorted()

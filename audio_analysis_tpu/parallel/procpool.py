@@ -103,8 +103,8 @@ class ProcessPlotPool:
             if err is not None:
                 self._errors.append((label, err))
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int]]:
-        """{render_fn_name: (total_child_seconds, jobs)} — call after drain()."""
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
+        """{render_fn_name: (total_child_seconds, jobs, first_job_seconds)} — call after drain()."""
         return self._timer.as_sorted()
 
     def drain(self) -> None:

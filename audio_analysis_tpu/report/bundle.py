@@ -108,8 +108,14 @@ def run_bundle_report(
     (reports_root / "plot_timings.json").write_text(
         json.dumps(
             {
-                kind: {"seconds": round(seconds, 4), "jobs": jobs}
-                for kind, (seconds, jobs) in plot_timings.items()
+                kind: {
+                    "seconds": round(seconds, 4),
+                    "jobs": jobs,
+                    # first job per kind pays the template build; steady-state
+                    # cost is (seconds - first) / (jobs - 1) for jobs > 1
+                    "first_job_seconds": round(first, 4),
+                }
+                for kind, (seconds, jobs, first) in plot_timings.items()
             },
             indent=1,
         )
