@@ -207,11 +207,12 @@ class FileDsp:
 
 def fetch_db_plane_i16(mag_db) -> np.ndarray:
     """Fetch a device dB plane as 1/256-dB int16 fixed point, dequantised to
-    float32 on host — half the link bytes, exact to ±1/512 dB."""
-    import jax.numpy as jnp
+    float32 on host — half the link bytes, exact to ±1/512 dB. The format is
+    ops.display's shared quantise/dequantise pair so every dB-plane path
+    crosses the link with an identical contract."""
+    from audio_analysis_tpu.ops.display import dequantize_db_i16, quantize_db_i16
 
-    q = jnp.round(jnp.clip(mag_db, -127.99, 127.99) * 256.0).astype(jnp.int16)
-    return np.asarray(q).astype(np.float32) * (1.0 / 256.0)
+    return dequantize_db_i16(quantize_db_i16(mag_db))
 
 
 def host_aligned_segments(

@@ -139,8 +139,12 @@ def analyse_frequency_response_channels(
             )
         )
     else:
-        peak_all = np.asarray(spec.peak_frequency_hz)
-        centroid_all = np.asarray(spec.spectral_centroid_hz)
+        from audio_analysis_tpu.ops import transport
+
+        # one packed round-trip instead of two (~21 ms each on the relay)
+        peak_all, centroid_all = transport.fetch_packed_tree(
+            (spec.peak_frequency_hz, spec.spectral_centroid_hz)
+        )
 
     results = []
     for i, channel_name in enumerate(dsp.channel_names):

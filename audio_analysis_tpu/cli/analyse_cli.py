@@ -743,6 +743,11 @@ def main(argv=None) -> None:
             from audio_analysis_tpu.engine.distributed import run_bundle_report_multi_host
 
             if getattr(args, "coordinator", None):
+                if args.num_processes is None or args.process_id is None:
+                    raise SystemExit(
+                        "bundle --multi-host --coordinator requires both "
+                        "--num-processes and --process-id"
+                    )
                 try:
                     jax.config.update("jax_cpu_collectives_implementation", "gloo")
                 except Exception:

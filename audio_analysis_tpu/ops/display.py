@@ -11,9 +11,9 @@ two colour-scale percentiles cross the link.
 Mapping to the hardware (no gathers — see CLAUDE.md kernel map):
 
 - Column (time) pooling is a strided reshape + max, exactly the host
-  algorithm with the bucket width derived from the STATIC padded frame
-  count (the host derived it from the valid frame count; boundaries can
-  differ by one bucket — a sub-pixel display difference).
+  algorithm with the bucket width derived from the max VALID frame count
+  (a short tap in a large pow-2 bucket keeps the time resolution the host
+  path would draw for its real width).
 - Row (log-frequency) pooling is a range-max query over contiguous,
   settings-static bin ranges: a shifted-maximum "sparse table" pyramid
   along F (log2(Wmax) levels), then each row's max is the maximum of TWO
@@ -45,6 +45,19 @@ from audio_analysis_tpu.ops import selectq
 _NEG = np.float32(-3.0e38)
 
 _DB_SCALE = 256.0  # 1/256-dB int16 fixed point (same as the plane fetches)
+
+
+def quantize_db_i16(x):
+    """dB plane -> 1/256-dB int16 fixed point (±127.99 dB clip): THE d2h
+    link format for every dB image/slice/plane. One definition so the
+    display paths and analyses/_common.fetch_db_plane_i16 cannot drift —
+    cross-path value-equality tests depend on an identical contract."""
+    return jnp.round(jnp.clip(x, -127.99, 127.99) * _DB_SCALE).astype(jnp.int16)
+
+
+def dequantize_db_i16(q) -> np.ndarray:
+    """Inverse of quantize_db_i16, on host (float32)."""
+    return np.asarray(q).astype(np.float32) * np.float32(1.0 / _DB_SCALE)
 
 
 def _freqs_f32(n_fft: int, sample_rate_hz: int) -> np.ndarray:
@@ -95,7 +108,10 @@ def _log_row_select(
         else:
             spans.append((lo, hi - lo))
             max_w = max(max_w, hi - lo)
-    levels = int(max_w - 1).bit_length() + 1  # k=0..floor(log2(max_w))
+    # highest level actually indexed below is k = floor(log2(max_w)), so
+    # exactly bit_length(max_w) levels; the previous `(max_w-1).bit_length()
+    # + 1` built one unused extra plane whenever max_w was not a power of 2
+    levels = int(max_w).bit_length()  # k = 0..floor(log2(max_w))
 
     a = np.zeros((rows, levels, n_sel), np.float32)
     b = np.zeros((rows, levels, n_sel), np.float32)
@@ -167,11 +183,11 @@ def _pooled_image_dev(mag_tf, num_frames, sel, i0, i1, rows, levels, col_pool):
     )  # one-hot selection: exact
     image = jnp.maximum(ab[..., :rows], ab[..., rows:])  # (C, T', rows)
 
-    q = jnp.round(jnp.clip(image, -127.99, 127.99) * _DB_SCALE).astype(jnp.int16)
+    q = quantize_db_i16(image)
     # percentiles ride the same fetch as one extra time-column
     extras = jnp.zeros((c, 1, rows), jnp.float32)
     extras = extras.at[:, 0, :2].set(pcts)
-    qe = jnp.round(jnp.clip(extras, -127.99, 127.99) * _DB_SCALE).astype(jnp.int16)
+    qe = quantize_db_i16(extras)
     return jnp.concatenate([q, qe], axis=1)
 
 
@@ -196,13 +212,16 @@ def pooled_log_freq_image(
 
     `num_frames_host` are the per-channel valid frame counts (host meta).
     """
-    t = int(mag_tf.shape[1])
     key = (int(n_fft), int(sample_rate_hz), *freq_selection(n_fft, sample_rate_hz, f_min, f_max), float(f_min), float(f_max), int(rows))
     i0, i1 = key[2], key[3]
     _sel, levels = _log_row_select(*key)
     sel_dev = _sel_on_device(key)
 
-    col_pool = -(-t // cols) if (cols > 0 and t > cols + cols // 2) else 1
+    # Bucket width from the VALID frame count, not the padded static T —
+    # a short tap in a large pow-2 bucket must keep the same time
+    # resolution the host path would draw for its real width.
+    t_valid = int(np.max(np.asarray(num_frames_host)))
+    col_pool = -(-t_valid // cols) if (cols > 0 and t_valid > cols + cols // 2) else 1
 
     nf = jnp.asarray(np.asarray(num_frames_host, np.int32))
     packed = np.asarray(
@@ -210,7 +229,7 @@ def pooled_log_freq_image(
             mag_tf, nf, sel_dev, i0, i1, int(rows), int(levels), int(col_pool)
         )
     )
-    plane = packed.astype(np.float32) * (1.0 / _DB_SCALE)
+    plane = dequantize_db_i16(packed)
     images = []
     p995, p5 = [], []
     for c in range(plane.shape[0]):
@@ -232,7 +251,7 @@ def _slices_dev(mag_tf, frame_idx, i0, i1):
     sel = jnp.einsum(
         "cst,ctf->csf", onehot, x, precision=jax.lax.Precision.HIGHEST
     )
-    return jnp.round(jnp.clip(sel, -127.99, 127.99) * _DB_SCALE).astype(jnp.int16)
+    return quantize_db_i16(sel)
 
 
 def stft_frame_slices(
@@ -254,4 +273,4 @@ def stft_frame_slices(
     i0, i1 = freq_selection(n_fft, sample_rate_hz, f_min, f_max)
     idx = jnp.asarray(np.asarray(frame_idx, np.int32))
     q = np.asarray(_slices_dev(mag_tf, idx, i0, i1))
-    return q.astype(np.float32) * (1.0 / _DB_SCALE)
+    return dequantize_db_i16(q)

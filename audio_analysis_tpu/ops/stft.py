@@ -84,8 +84,12 @@ def _frame_rfft(
     ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft.
     `k_out` keeps only the first k_out bins (the mx path skips computing the
     rest; the XLA path slices, which XLA fuses into the consumer); `fft_n1`
-    overrides the mx stage split (ignored by the XLA path)."""
-    if fft_impl == "mx":
+    overrides the mx stage split (ignored by the XLA path). The mx
+    factorisation needs a power-of-two length; any other n_fft (legal at the
+    CLI, e.g. --n_fft 3000 — the reference accepts arbitrary sizes) falls
+    back to the XLA FFT instead of raising."""
+    n = int(frames.shape[-1])
+    if fft_impl == "mx" and n >= 2 and (n & (n - 1)) == 0:
         from audio_analysis_tpu.ops.mxfft import rfft_mx
 
         return rfft_mx(frames, k_out=k_out, n1=fft_n1)

@@ -103,24 +103,25 @@ def run_bundle_report(
         plot_timings = plot_worker.timings_by_kind()
         plot_worker.close()
 
-    # always written (an empty {} for a fully-cached resume or a no-figure
-    # run) so a stale previous run's costs can't masquerade as this run's
-    (reports_root / "plot_timings.json").write_text(
-        json.dumps(
-            {
-                kind: {
-                    "seconds": round(seconds, 4),
-                    "jobs": jobs,
-                    # first job per kind pays the template build; steady-state
-                    # cost is (seconds - first) / (jobs - 1) for jobs > 1
-                    "first_job_seconds": round(first, 4),
-                }
-                for kind, (seconds, jobs, first) in plot_timings.items()
-            },
-            indent=1,
+        # always written, INCLUDING error exits (an empty {} for a
+        # fully-cached resume or a no-figure run), so a stale previous
+        # run's costs can't masquerade as this run's
+        (reports_root / "plot_timings.json").write_text(
+            json.dumps(
+                {
+                    kind: {
+                        "seconds": round(seconds, 4),
+                        "jobs": jobs,
+                        # first job per kind pays the template build;
+                        # steady-state is (seconds - first) / (jobs - 1)
+                        "first_job_seconds": round(first, 4),
+                    }
+                    for kind, (seconds, jobs, first) in plot_timings.items()
+                },
+                indent=1,
+            )
+            + "\n"
         )
-        + "\n"
-    )
 
     if plot_failures and not settings.continue_on_error:
         raise plot_failures[0][1]

@@ -309,6 +309,11 @@ import json, sys, time
 import numpy as np
 import jax
 
+# Belt-and-braces with the parent's env pins (which already disable the
+# accelerator plugin's startup hook): a config-level pin is the only one
+# that sticks if a hook DID run — see utils/platform.py.
+jax.config.update("jax_platforms", "cpu")
+
 from audio_analysis_tpu.engine import EngineConfig, analyze_batch_sharded, make_mesh
 
 rows = {}
@@ -373,6 +378,10 @@ def bench_mesh_scaling() -> dict:
         if run.returncode != 0:
             return {"error": run.stderr.decode()[-400:]}
         return json.loads(run.stdout.decode().strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        # a slow CPU compile must degrade to an error row, not crash the
+        # bench after every real measurement already completed
+        return {"error": "mesh-scaling worker exceeded 900 s"}
     finally:
         os.unlink(path)
 

@@ -29,7 +29,17 @@ def _plane(seed, c, t, n_fft):
     return rng.uniform(-120.0, 0.0, (c, t, f)).astype(np.float32)
 
 
-@pytest.mark.parametrize("t,valid", [(256, (256, 200)), (2048, (1500, 2048))])
+@pytest.mark.parametrize(
+    "t,valid",
+    [
+        (256, (256, 200)),
+        (2048, (1500, 2048)),
+        # short tap in a big padded bucket: valid width (150) is under the
+        # pooling threshold, so NO column pooling even though t=2048 — the
+        # padded-T regression halved time resolution here
+        (2048, (150, 100)),
+    ],
+)
 def test_pooled_image_matches_host_pooling(t, valid):
     n_fft, sr = 4096, 48_000
     f_min, f_max, rows, cols = 20.0, 20_000.0, 120, 160
@@ -42,11 +52,12 @@ def test_pooled_image_matches_host_pooling(t, valid):
         rows=rows, cols=cols,
     )
 
-    col_pool = -(-t // cols) if t > cols + cols // 2 else 1
+    tv = max(valid)
+    col_pool = -(-tv // cols) if tv > cols + cols // 2 else 1
     for c in range(2):
         sub = mag[c, : valid[c]][:, fmask].T  # (F_sel, T_valid)
         # host reference with the DEVICE's bucket width (derived from the
-        # static padded frame count) and the shared quantisation
+        # max VALID frame count) and the shared quantisation
         if col_pool > 1:
             nvb = -(-valid[c] // col_pool)
             pad = nvb * col_pool - valid[c]
