@@ -88,6 +88,7 @@ def analyze_batch_sharded(
     batch: np.ndarray,
     lengths: np.ndarray,
     config: EngineConfig = EngineConfig(),
+    include_bundle_aggregates: bool = True,
 ) -> Dict[str, jax.Array]:
     """
     Run the fused engine with the tap batch sharded over the mesh, plus
@@ -128,13 +129,16 @@ def analyze_batch_sharded(
     if pad:
         out = {k: v[:b] for k, v in out.items()}
 
-    # Bundle-wide aggregates: reductions over the (sharded) tap axis.
-    t30 = jnp.where(out["t30_ok"], out["t30_rt60"], jnp.nan)
-    out["bundle_median_t30"] = jnp.nanmedian(t30)
-    out["bundle_mean_early10"] = jnp.nanmean(
-        jnp.where(out["early10_ok"], out["early10_time"], jnp.nan)
-    )
-    out["bundle_valid_taps"] = jnp.sum(jnp.any(out["t30_ok"], axis=-1))
+    # Bundle-wide aggregates: reductions over the (sharded) tap axis. The
+    # per-chunk flat path skips them (a nanmedian sort per chunk whose
+    # result the caller recomputes host-side over the full bundle).
+    if include_bundle_aggregates:
+        t30 = jnp.where(out["t30_ok"], out["t30_rt60"], jnp.nan)
+        out["bundle_median_t30"] = jnp.nanmedian(t30)
+        out["bundle_mean_early10"] = jnp.nanmean(
+            jnp.where(out["early10_ok"], out["early10_time"], jnp.nan)
+        )
+        out["bundle_valid_taps"] = jnp.sum(jnp.any(out["t30_ok"], axis=-1))
     return out
 
 
@@ -163,6 +167,8 @@ def analyze_batch_sharded_flat(
             f"batch of {batch.shape[0]} taps not divisible by mesh "
             f"taps={mesh.shape['taps']} (pad the chunk)"
         )
-    out = analyze_batch_sharded(mesh, batch, lengths, config)
+    out = analyze_batch_sharded(
+        mesh, batch, lengths, config, include_bundle_aggregates=False
+    )
     keys = sorted(k for k in out if not k.startswith("bundle_"))
     return _pack_values(tuple(out[k] for k in keys))

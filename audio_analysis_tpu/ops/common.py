@@ -58,3 +58,17 @@ def db_from_magnitude(mag: jnp.ndarray, floor_db: float) -> jnp.ndarray:
 def db_from_power(power: jnp.ndarray, eps: float) -> jnp.ndarray:
     """10 log10(max(power, eps))."""
     return 10.0 * jnp.log10(jnp.maximum(power, eps))
+
+
+def box_smooth_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Moving average matching np.convolve(x, ones(w)/w, mode="same")
+    (reference decay.py:161-164): out-of-range samples count as zero, the
+    kernel is centred with the extra tap on the left for even w. Shared by
+    EDC smoothing, log-frequency smoothing and group-delay smoothing."""
+    n = x.shape[-1]
+    c = jnp.cumsum(x, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)  # c[i] = sum x[:i]
+    i = jnp.arange(n)
+    hi = jnp.clip(i + (window - 1) // 2 + 1, 0, n)  # exclusive
+    lo = jnp.clip(i + (window - 1) // 2 + 1 - window, 0, n)
+    return (jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)) / float(window)

@@ -11,9 +11,10 @@ two colour-scale percentiles cross the link.
 Mapping to the hardware (no gathers — see CLAUDE.md kernel map):
 
 - Column (time) pooling is a strided reshape + max, exactly the host
-  algorithm with the bucket width derived from the max VALID frame count
-  (a short tap in a large pow-2 bucket keeps the time resolution the host
-  path would draw for its real width).
+  algorithm with the bucket width derived from each channel's VALID frame
+  count (a short tap or channel in a large pow-2 bucket keeps the time
+  resolution the host path would draw for its real width; channels whose
+  widths pool differently run as separate dispatches).
 - Row (log-frequency) pooling is a range-max query over contiguous,
   settings-static bin ranges: a shifted-maximum "sparse table" pyramid
   along F (log2(Wmax) levels), then each row's max is the maximum of TWO
@@ -217,27 +218,43 @@ def pooled_log_freq_image(
     _sel, levels = _log_row_select(*key)
     sel_dev = _sel_on_device(key)
 
-    # Bucket width from the VALID frame count, not the padded static T —
-    # a short tap in a large pow-2 bucket must keep the same time
-    # resolution the host path would draw for its real width.
-    t_valid = int(np.max(np.asarray(num_frames_host)))
-    col_pool = -(-t_valid // cols) if (cols > 0 and t_valid > cols + cols // 2) else 1
+    # Bucket width PER CHANNEL from its VALID frame count — exactly what
+    # the host path computes for each channel's real width (neither the
+    # padded static T nor another channel's width). Channels usually agree
+    # (per-tap alignment trims them near-identically), so the common case
+    # stays one dispatch + one fetch; differing widths fall back to one
+    # call per channel. col_pool is a static jit arg, but its value set is
+    # tiny (ceil(t_valid/cols)) so compile diversity stays bounded.
+    nfh = np.asarray(num_frames_host, np.int64)
+    pools = [
+        (-(-int(v) // cols) if (cols > 0 and int(v) > cols + cols // 2) else 1)
+        for v in nfh
+    ]
 
-    nf = jnp.asarray(np.asarray(num_frames_host, np.int32))
-    packed = np.asarray(
-        _pooled_image_dev(
-            mag_tf, nf, sel_dev, i0, i1, int(rows), int(levels), int(col_pool)
+    nf = jnp.asarray(nfh.astype(np.int32))
+
+    def run(mag_sub, nf_sub, col_pool):
+        packed = np.asarray(
+            _pooled_image_dev(
+                mag_sub, nf_sub, sel_dev, i0, i1, int(rows), int(levels), int(col_pool)
+            )
         )
-    )
-    plane = dequantize_db_i16(packed)
+        return dequantize_db_i16(packed)
+
+    if len(set(pools)) == 1:
+        plane = run(mag_tf, nf, pools[0])
+        planes = [plane[c] for c in range(plane.shape[0])]
+    else:
+        planes = [run(mag_tf[c : c + 1], nf[c : c + 1], cp)[0] for c, cp in enumerate(pools)]
+
     images = []
     p995, p5 = [], []
-    for c in range(plane.shape[0]):
-        n_valid = int(num_frames_host[c])
-        nvb = max(1, -(-n_valid // col_pool))
-        images.append(plane[c, :nvb].T.copy())  # (rows, T_c')
-        p995.append(float(plane[c, -1, 0]))
-        p5.append(float(plane[c, -1, 1]))
+    for c, plane_c in enumerate(planes):
+        n_valid = int(nfh[c])
+        nvb = max(1, -(-n_valid // pools[c]))
+        images.append(plane_c[:nvb].T.copy())  # (rows, T_c')
+        p995.append(float(plane_c[-1, 0]))
+        p5.append(float(plane_c[-1, 1]))
     return images, np.asarray(p995), np.asarray(p5)
 
 

@@ -19,27 +19,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from audio_analysis_tpu.ops.common import bool_valid_mask, db_from_power
+from audio_analysis_tpu.ops.common import bool_valid_mask, box_smooth_same, db_from_power
 
 
 class EdcResult(NamedTuple):
     edc_db: jnp.ndarray  # (..., N): 0 dB at index 0, floored, 0 past length
     length: jnp.ndarray  # (...,) int32 valid curve samples
-
-
-def _box_smooth_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """
-    Moving average matching np.convolve(x, ones(w)/w, mode="same")
-    (decay.py:161-164): out-of-range samples count as zero, the kernel is
-    centred with the extra tap on the left for even w.
-    """
-    n = x.shape[-1]
-    c = jnp.cumsum(x, axis=-1)
-    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)  # c[i] = sum x[:i]
-    i = jnp.arange(n)
-    hi = jnp.clip(i + (window - 1) // 2 + 1, 0, n)  # exclusive
-    lo = jnp.clip(i + (window - 1) // 2 + 1 - window, 0, n)
-    return (jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)) / float(window)
 
 
 @partial(jax.jit, static_argnames=("edc_epsilon", "edc_floor_db", "smoothing_window_samples"))
@@ -66,7 +51,7 @@ def schroeder_edc_db(
     edc_db = db_from_power(edc_linear, 0.0)
 
     if smoothing_window_samples and smoothing_window_samples > 1:
-        edc_db = _box_smooth_same(jnp.where(mask, edc_db, 0.0), int(smoothing_window_samples))
+        edc_db = box_smooth_same(jnp.where(mask, edc_db, 0.0), int(smoothing_window_samples))
 
     edc_db = jnp.maximum(edc_db, edc_floor_db)
     return EdcResult(jnp.where(mask, edc_db, 0.0), length)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio_analysis_tpu.ops.common import box_smooth_same
+
 
 # ----------------------------------------------------------------------------
 # uniform log2(f) smoothing grid (host-side construction)
@@ -48,17 +50,6 @@ def log_grid_for_range(
     return sel, grid
 
 
-def _box_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """np.convolve(x, ones(w)/w, 'same') over the last axis (zero padded)."""
-    n = x.shape[-1]
-    c = jnp.cumsum(x, axis=-1)
-    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
-    i = jnp.arange(n)
-    hi = jnp.clip(i + (window - 1) // 2 + 1, 0, n)
-    lo = jnp.clip(i + (window - 1) // 2 + 1 - window, 0, n)
-    return (jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)) / float(window)
-
-
 def smooth_mag_db_log_frequency(
     freqs_hz: np.ndarray,
     mag_db: jnp.ndarray,
@@ -85,7 +76,7 @@ def smooth_mag_db_log_frequency(
     def smooth_one(row: jnp.ndarray) -> jnp.ndarray:
         mag_sel = row[sel_idx]
         on_grid = jnp.interp(grid_j, f_sel, mag_sel)
-        smoothed = _box_same(on_grid, int(smoothing_log_bins))
+        smoothed = box_smooth_same(on_grid, int(smoothing_log_bins))
         back = jnp.interp(f_sel, grid_j, smoothed)
         return row.at[sel_idx].set(back.astype(row.dtype))
 

@@ -157,11 +157,21 @@ def schroeder_edc_db_pallas(
     return edc_db.reshape(samples.shape)
 
 
-def schroeder_edc_db_auto(samples: jnp.ndarray, length: jnp.ndarray, **kwargs) -> jnp.ndarray:
-    """Pallas EDC when the shape qualifies and we're on TPU, else ops.edc."""
+def schroeder_edc_db_auto(
+    samples: jnp.ndarray,
+    length: jnp.ndarray,
+    eps: float = 1e-20,
+    floor_db: float = -120.0,
+) -> jnp.ndarray:
+    """Pallas EDC when the shape qualifies and we're on TPU, else ops.edc.
+    Explicit parameters (not **kwargs): the two implementations spell the
+    knobs differently (eps/floor_db vs edc_epsilon/edc_floor_db), so a
+    pass-through dict only worked for all-default calls."""
     from audio_analysis_tpu.ops import edc as edc_mod
 
     n = samples.shape[-1]
     if supports(n) and jax.default_backend() == "tpu":
-        return schroeder_edc_db_pallas(samples, length, **kwargs)
-    return edc_mod.schroeder_edc_db(samples, length, **kwargs).edc_db
+        return schroeder_edc_db_pallas(samples, length, eps=eps, floor_db=floor_db)
+    return edc_mod.schroeder_edc_db(
+        samples, length, edc_epsilon=eps, edc_floor_db=floor_db
+    ).edc_db

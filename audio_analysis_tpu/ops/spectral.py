@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audio_analysis_tpu.ops import selectq
 from audio_analysis_tpu.ops.common import (
     bool_valid_mask,
+    box_smooth_same,
     db_from_magnitude,
     hann_window_dynamic,
 )
@@ -146,16 +148,15 @@ def group_delay(
     gd = (-dphi).astype(jnp.float32)
 
     if smoothing_bins and smoothing_bins > 1:
-        from audio_analysis_tpu.ops.logfreq import _box_same
-
-        gd = _box_same(gd, int(smoothing_bins))
+        gd = box_smooth_same(gd, int(smoothing_bins))
 
     freqs = np.fft.rfftfreq(n, d=1.0 / float(sample_rate_hz))
     sel = jnp.asarray((freqs >= f_min_hz) & (freqs <= f_max_hz))
-    gd_sel = jnp.where(sel, gd, jnp.nan)
-    # one sort for all three statistics (the F-bin sort dominates this block)
-    q = jnp.nanpercentile(gd_sel, jnp.asarray([10.0, 50.0, 90.0]), axis=-1)
-    return GroupDelayResult(gd, q[1], q[0], q[2])
+    # sort-free exact order statistics (ops/selectq) — XLA's bitonic sort
+    # over the F bins was 4x slower; same kernel the engine block uses
+    valid = jnp.broadcast_to(sel, gd.shape)
+    q = selectq.masked_percentiles(gd, valid, (10.0, 50.0, 90.0))
+    return GroupDelayResult(gd, q[..., 1], q[..., 0], q[..., 2])
 
 
 @partial(jax.jit, static_argnames=("n_fft",))

@@ -52,12 +52,12 @@ def test_pooled_image_matches_host_pooling(t, valid):
         rows=rows, cols=cols,
     )
 
-    tv = max(valid)
-    col_pool = -(-tv // cols) if tv > cols + cols // 2 else 1
     for c in range(2):
+        # per-channel bucket width from that channel's OWN valid width —
+        # the host algorithm plot.log_frequency_image applies per channel
+        tv = valid[c]
+        col_pool = -(-tv // cols) if tv > cols + cols // 2 else 1
         sub = mag[c, : valid[c]][:, fmask].T  # (F_sel, T_valid)
-        # host reference with the DEVICE's bucket width (derived from the
-        # max VALID frame count) and the shared quantisation
         if col_pool > 1:
             nvb = -(-valid[c] // col_pool)
             pad = nvb * col_pool - valid[c]
