@@ -195,7 +195,7 @@ class FileDsp:
         if key not in self._stft_host:
             r = self.stft_db(*tkey, key[1], key[2], key[3], key[4])
             # dB planes cross the device->host link as int16 fixed-point
-            # (1/256 dB steps, exact to +-0.002 dB over a +-128 dB range):
+            # (1/128 dB steps, exact to +-0.004 dB over a +-256 dB range):
             # the (C, T, F) plane is ~33 MB in f32 and the dev link runs
             # ~35 MB/s on fetch, so halving the bytes halves the per-tap
             # spectrogram/waterfall wall time. Quantisation is far below
@@ -206,8 +206,8 @@ class FileDsp:
 
 
 def fetch_db_plane_i16(mag_db) -> np.ndarray:
-    """Fetch a device dB plane as 1/256-dB int16 fixed point, dequantised to
-    float32 on host — half the link bytes, exact to ±1/512 dB. The format is
+    """Fetch a device dB plane as 1/128-dB int16 fixed point, dequantised to
+    float32 on host — half the link bytes, exact to ±1/256 dB. The format is
     ops.display's shared quantise/dequantise pair so every dB-plane path
     crosses the link with an identical contract."""
     from audio_analysis_tpu.ops.display import dequantize_db_i16, quantize_db_i16

@@ -136,7 +136,7 @@ def analyse_decay_channels(
 
     # ONE packed device->host transfer for crossings + every fit field (the
     # per-field fetches here were 33 relay round-trips); the EDC dB curve
-    # crosses separately as 1/256-dB int16 fixed point (half the bytes,
+    # crosses separately as 1/128-dB int16 fixed point (half the bytes,
     # exact to ±0.002 dB — it only feeds the plot)
     from audio_analysis_tpu.analyses._common import fetch_db_plane_i16
 

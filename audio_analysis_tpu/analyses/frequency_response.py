@@ -114,7 +114,7 @@ def analyse_frequency_response_channels(
 
     n_pad = dsp.bucket_samples
     freq_hz = np.fft.rfftfreq(n_pad, d=1.0 / sample_rate_hz).astype(np.float32)
-    # (C, F) dB plane crosses the link as 1/256-dB int16 (plot feed; the
+    # (C, F) dB plane crosses the link as 1/128-dB int16 (plot feed; the
     # peak/centroid diagnostics are computed on device from the full f32)
     mag_db_all = fetch_db_plane_i16(spec.mag_db)
 

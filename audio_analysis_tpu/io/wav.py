@@ -193,11 +193,13 @@ def wav_is_plain_pcm16(path: str | Path) -> bool:
                         return False
                     (format_tag,) = struct.unpack("<H", fmt[:2])
                     (bits,) = struct.unpack("<H", fmt[14:16])
-                    if format_tag == 0xFFFE and chunk_size >= 40:
+                    if format_tag == 0xFFFE and len(fmt) >= 26:
                         (format_tag,) = struct.unpack("<H", fmt[24:26])
                     return format_tag == 1 and bits == 16
                 f.seek(chunk_size + (chunk_size & 1), 1)
-    except OSError:
+    except (OSError, struct.error):
+        # a truncated/garbled header is "not plain PCM16", not a crash —
+        # callers use this as a cheap vet before the fast i16 path
         return False
 
 
@@ -219,9 +221,17 @@ def _read_wav_raw(path: Path) -> Tuple[int, np.ndarray]:
 
     from audio_analysis_tpu.io import native
 
+    result = None
     if native.available():
-        result = native.read_wav(path)
-    else:
+        try:
+            result = native.read_wav(path)
+        except IOError:
+            # formats the native decoder doesn't cover (e.g. uint8 PCM)
+            # must load identically whether or not cpp/ was built — fall
+            # back to the scipy path, which raises its own error if the
+            # file is genuinely unreadable
+            result = None
+    if result is None:
         from scipy.io import wavfile
 
         sample_rate_hz, data = wavfile.read(str(path))

@@ -45,15 +45,20 @@ from audio_analysis_tpu.ops import selectq
 # finite stand-in for -inf as the max identity (0 * -inf = NaN in matmuls)
 _NEG = np.float32(-3.0e38)
 
-_DB_SCALE = 256.0  # 1/256-dB int16 fixed point (same as the plane fetches)
+# 1/128-dB int16 fixed point (same as the plane fetches): the ±255.99 dB
+# window covers any practical floor_db (a 1/256 step clipped at ±127.99 dB,
+# silently flattening plots for floors below -128 dB); 1/128 dB is still
+# ~100x finer than a plot pixel.
+_DB_SCALE = 128.0
+_DB_CLIP = 255.99
 
 
 def quantize_db_i16(x):
-    """dB plane -> 1/256-dB int16 fixed point (±127.99 dB clip): THE d2h
+    """dB plane -> 1/128-dB int16 fixed point (±255.99 dB clip): THE d2h
     link format for every dB image/slice/plane. One definition so the
     display paths and analyses/_common.fetch_db_plane_i16 cannot drift —
     cross-path value-equality tests depend on an identical contract."""
-    return jnp.round(jnp.clip(x, -127.99, 127.99) * _DB_SCALE).astype(jnp.int16)
+    return jnp.round(jnp.clip(x, -_DB_CLIP, _DB_CLIP) * _DB_SCALE).astype(jnp.int16)
 
 
 def dequantize_db_i16(q) -> np.ndarray:
@@ -208,7 +213,7 @@ def pooled_log_freq_image(
       images: list of (rows, T_c') float32 dB per channel (valid columns
               only, transposed for imshow), exactly the max-pooled values
               plot.log_frequency_image computes (same quantisation as the
-              old full-plane fetch: 1/256 dB)
+              old full-plane fetch: 1/128 dB)
       p995, p5: per-channel colour percentiles of the full-res valid region
 
     `num_frames_host` are the per-channel valid frame counts (host meta).
@@ -282,7 +287,7 @@ def stft_frame_slices(
     """
     Extract per-channel STFT frames (C, S, F_sel) from the device plane via
     a 0/1 mask matmul (no gather, no full-plane fetch) and return them as
-    host float32 dB with the standard 1/256-dB quantisation.
+    host float32 dB with the standard 1/128-dB quantisation.
 
     `frame_idx` is (C, S) int32 — per-channel frame indices (pad rows with
     a repeated index; the caller trims).

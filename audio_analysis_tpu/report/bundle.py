@@ -32,6 +32,28 @@ class BundleRunSettings:
     continue_on_error: bool = True
 
 
+import re as _re
+
+_MD_IMAGE_RE = _re.compile(r"!\[[^\]]*\]\(([^)]+)\)")
+
+
+def _report_complete(report_md: Path) -> bool:
+    """A tap counts as done for --resume only if its markdown exists AND
+    every PNG it embeds exists next to it. The markdown is written before
+    the tap's figure jobs drain (they render on the shared worker while the
+    next tap computes), so an interrupted or plot-failed run can leave an
+    md whose images were never written — resuming must redo those taps,
+    not mark them '(cached)' forever."""
+    if not report_md.exists():
+        return False
+    try:
+        text = report_md.read_text()
+    except OSError:
+        return False
+    folder = report_md.parent
+    return all((folder / name).exists() for name in _MD_IMAGE_RE.findall(text))
+
+
 def run_bundle_report(
     bundle_root: str | Path, settings: Optional[BundleRunSettings] = None
 ) -> Path:
@@ -76,7 +98,7 @@ def run_bundle_report(
             out_dir.mkdir(parents=True, exist_ok=True)
             report_md = out_dir / f"{tap}_report.md"
 
-            if settings.resume and report_md.exists():
+            if settings.resume and _report_complete(report_md):
                 index_lines.append(
                     f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name}) (cached)"
                 )
@@ -89,6 +111,9 @@ def run_bundle_report(
                     settings=settings.report_settings,
                     plot_worker=plot_worker,
                 )
+                # NOTE: mirrors the reference's link format verbatim
+                # (bundle.py:70) — including its quirk of prefixing
+                # reports_subdir although the index already lives inside it
                 index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
             except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
                 if not settings.continue_on_error:

@@ -71,12 +71,17 @@ def _analyze_possibly_sharded(
     chunk = max(1, settings.chunk_taps) * n_dev
     b = batch.shape[0]
     parts: List[Dict[str, np.ndarray]] = []
+    from audio_analysis_tpu.ops import transport
+
     for lo in range(0, b, chunk):
         hi = min(b, lo + chunk)
-        out = analyze_batch_sharded(mesh, batch[lo:hi], lengths[lo:hi], config)
-        parts.append(
-            {k: np.asarray(v) for k, v in out.items() if not k.startswith("bundle_")}
+        out = analyze_batch_sharded(
+            mesh, batch[lo:hi], lengths[lo:hi], config,
+            include_bundle_aggregates=False,  # recomputed host-side below
         )
+        # ONE packed d2h copy per chunk pytree (repo convention — each
+        # separate fetch costs a ~21-25 ms round-trip on the dev relay)
+        parts.append(transport.fetch_packed_tree(out))
     return {k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]}
 
 
@@ -90,10 +95,13 @@ def _channel_names_from_output(out: Dict[str, np.ndarray]) -> List[str]:
     return [f"ch{i}" for i in range(c)]
 
 
-def _fit_line(out: Dict[str, np.ndarray], name: str, b: int, c: int) -> str:
-    """One decay-fit summary line in the decay.py:530-538 format."""
+def _fit_line(
+    out: Dict[str, np.ndarray], name: str, b: int, c: int, ranges: tuple
+) -> str:
+    """One decay-fit summary line in the decay.py:530-538 format. `ranges`
+    is the CONFIGURED dB window (EngineConfig.*_range_db) — the printed
+    window must be the one the engine actually fitted with."""
     label = name.upper()
-    ranges = {"edt": (0.0, -10.0), "t20": (-5.0, -25.0), "t30": (-5.0, -35.0)}[name]
     if not bool(out[f"{name}_ok"][b, c]):
         return f"  {label}: NA"
     return (
@@ -113,6 +121,11 @@ def _summary_context(config: EngineConfig, sample_rate_hz: int) -> Dict:
     from audio_analysis_tpu.engine.batch import band_names
 
     ctx["band_labels"] = band_names(config)
+    ctx["fit_ranges"] = {
+        "edt": config.edt_range_db,
+        "t20": config.t20_range_db,
+        "t30": config.t30_range_db,
+    }
 
     from audio_analysis_tpu.analyses.waterfall import (
         WaterfallAnalysisSettings,
@@ -165,7 +178,7 @@ def format_tap_summary(
         else:
             md.append("  early_0_to_-10_time=NA")
         for name in ("edt", "t20", "t30"):
-            md.append(_fit_line(out, name, b, c))
+            md.append(_fit_line(out, name, b, c, ctx["fit_ranges"][name]))
         md.append("")
     md.append("```\n")
 
@@ -395,7 +408,11 @@ def run_bundle_report_engine(
             f"**Samples:** {int(lengths[b])}\n\n---\n\n"
         )
         (out_dir / f"{tap}_report.md").write_text(header + body)
-        index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{tap}_report.md)")
+        # relative to the index file, which itself lives in reports_subdir
+        # (the reference prefixes the subdir again — broken links that
+        # report/bundle.py mirrors for parity; this engine-format index is
+        # new code, so its links actually resolve)
+        index_lines.append(f"- [{tap}]({tap}/{tap}_report.md)")
     phases["markdown_s"] = round(time.perf_counter() - start_markdown, 4)
 
     # machine-readable dump of every metric

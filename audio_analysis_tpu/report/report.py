@@ -227,7 +227,6 @@ def run_report_from_wav_file(
     timer = BlockTimer()
     md: List[str] = [_format_header_block(input_wav_file_path, settings.expected_sample_rate_hz)]
     mono = settings.common_use_mono_downmix_for_stereo
-    left_name, right_name = ("mono", None) if mono else ("left", "right")
 
     # ONE device context for the whole suite: the signal is uploaded once,
     # the trim alignment is computed once, spectrogram + waterfall share a
@@ -236,6 +235,10 @@ def run_report_from_wav_file(
     # (SURVEY §3.2; spectrogram.py:146-155, waterfall.py:220-227,
     # modalcloud.py:149-155).
     dsp = FileDsp.from_wav_file(input_wav_file_path, mono)
+    # image suffixes come from the ACTUAL channel set (a mono input without
+    # --mono still yields one "mono" channel, not left/right)
+    left_name = dsp.channel_names[0]
+    right_name = dsp.channel_names[1] if len(dsp.channel_names) > 1 else None
 
     # Figure rendering rides a single worker thread (matplotlib confined to
     # it) so the device dispatch + tunnel fetches of block k+1 overlap the

@@ -2,7 +2,7 @@
 ops/display: device-side display pooling must reproduce the host pooling
 math exactly — log-row max pooling matches plot.log_frequency_image, the
 colour percentiles match np.percentile, and slice extraction matches plain
-indexing (all up to the shared 1/256-dB fetch quantisation, which is
+indexing (all up to the shared 1/128-dB fetch quantisation, which is
 applied identically on both paths here by quantising the host reference).
 """
 
@@ -17,10 +17,9 @@ from audio_analysis_tpu.plot import log_frequency_image  # noqa: E402
 
 
 def _q(x):
-    """The 1/256-dB int16 fixed-point both paths apply before the link."""
-    return np.round(np.clip(x, -127.99, 127.99) * 256.0).astype(np.int16).astype(
-        np.float32
-    ) / 256.0
+    """The int16 fixed-point both paths apply before the link — THE shared
+    helper pair, so this test can never drift from the production format."""
+    return display.dequantize_db_i16(display.quantize_db_i16(jnp.asarray(x)))
 
 
 def _plane(seed, c, t, n_fft):
