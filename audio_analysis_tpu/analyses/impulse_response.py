@@ -142,8 +142,10 @@ def plot_ir_from_wav_file(
     settings: Optional[ImpulseResponseViewSettings] = None,
     output_basename: Optional[str | Path] = None,
     show_interactive: bool = True,
-) -> None:
-    """Writes <basename>.png, <basename>_early.png, <basename>_tail.png."""
+) -> dict:
+    """Writes <basename>.png, <basename>_early.png, <basename>_tail.png.
+    Returns the deterministic per-channel stats the views visualise (so the
+    CLI's --json flag has something to emit)."""
     if settings is None:
         settings = ImpulseResponseViewSettings()
 
@@ -162,3 +164,19 @@ def plot_ir_from_wav_file(
 
     plot_impulse_response_waveform(loaded, settings, waveform_path, show_interactive)
     plot_impulse_response_log_magnitude(loaded, settings, tail_path, show_interactive)
+
+    x = loaded.samples  # (N, C)
+    sr = int(loaded.sample_rate_hz)
+    channels = []
+    for c in range(x.shape[1]):
+        mag = np.abs(x[:, c])
+        peak = int(np.argmax(mag))
+        channels.append(
+            {
+                "peak_sample_index": peak,
+                "peak_abs": float(mag[peak]),
+                "num_samples": int(x.shape[0]),
+                "duration_seconds": float(x.shape[0] / sr),
+            }
+        )
+    return {"sample_rate_hz": sr, "channels": channels}

@@ -401,7 +401,7 @@ def main(argv=None) -> None:
         return not bool(getattr(args, "no_show", False))
 
     if cmd == "ir":
-        plot_ir_from_wav_file(
+        results = plot_ir_from_wav_file(
             wav_file_path=str(args.input_wav_file_path),
             settings=ImpulseResponseViewSettings(
                 early_window_seconds=float(args.early_window_seconds),
@@ -411,6 +411,7 @@ def main(argv=None) -> None:
             output_basename=out_base(),
             show_interactive=show(),
         )
+        _maybe_write_json(args, results)
         return
 
     if cmd == "deconvolve":

@@ -46,10 +46,16 @@ def initialize_multi_host(
     coordinator = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator:
         kwargs["coordinator_address"] = coordinator
-    if num_processes is not None or os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs["num_processes"] = int(num_processes or os.environ["JAX_NUM_PROCESSES"])
-    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
-        kwargs["process_id"] = int(process_id or os.environ["JAX_PROCESS_ID"])
+    # NOT `x or env[...]`: process_id=0 (every job's first process) is falsy
+    # and must not fall through to the env var
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    elif os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    elif os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
 
     jax.distributed.initialize(**kwargs)
 
@@ -232,7 +238,8 @@ def run_bundle_report_multi_host(
     from audio_analysis_tpu.io.bundle import read_bundle_meta
 
     bundle_root = Path(bundle_root)
-    sr = read_bundle_meta(bundle_root).sample_rate_hz
+    meta = read_bundle_meta(bundle_root)  # one read; reused by the index below
+    sr = meta.sample_rate_hz
     run_config = dataclasses.replace(
         config if config is not None else EngineConfig(), sample_rate_hz=sr
     )
@@ -263,9 +270,6 @@ def run_bundle_report_multi_host(
     if jax.process_index() != 0:
         return None
 
-    from audio_analysis_tpu.io.bundle import read_bundle_meta
-
-    meta = read_bundle_meta(bundle_root)
     lines = [
         "# IR Bundle Report (engine, multi-host)\n",
         f"**Bundle:** `{bundle_root}`\n",
@@ -278,7 +282,8 @@ def run_bundle_report_multi_host(
         "\n## Taps\n",
     ]
     for tap in meta.taps:
-        lines.append(f"- [{tap}]({reports_subdir}/{tap}/{tap}_report.md)")
+        # relative to the index file, which already lives in reports_subdir
+        lines.append(f"- [{tap}]({tap}/{tap}_report.md)")
     index_path = reports_root / "bundle_report.md"
     index_path.write_text("\n".join(lines) + "\n")
     return index_path

@@ -115,10 +115,13 @@ class PlotWorker:
         return self._timer.as_sorted()
 
     def drain(self) -> None:
-        """Block until every submitted job ran; re-raise the first failure."""
+        """Block until every submitted job ran; re-raise the first failure
+        (and clear it, like drain_collect — a handled failure must not be
+        re-raised by every later drain)."""
         self._wait_idle()
         if self._errors:
-            raise self._errors[0][1]
+            errors, self._errors = self._errors, []
+            raise errors[0][1]
 
     def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
         """Block until idle; return (and clear) labeled failures instead of
@@ -205,7 +208,8 @@ class MaybePlotWorker:
         if self._worker is not None:
             self._worker.drain()
         elif self._sync_errors:
-            raise self._sync_errors[0][1]
+            errors, self._sync_errors = self._sync_errors, []
+            raise errors[0][1]
 
     def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
         if self._worker is not None:

@@ -108,10 +108,12 @@ class ProcessPlotPool:
         return self._timer.as_sorted()
 
     def drain(self) -> None:
-        """Block until every submitted job ran; re-raise the first failure."""
+        """Block until every submitted job ran; re-raise the first failure
+        (and clear it, matching drain_collect's contract)."""
         self._collect()
         if self._errors:
-            raise self._errors[0][1]
+            errors, self._errors = self._errors, []
+            raise errors[0][1]
 
     def drain_collect(self) -> List[Tuple[Optional[str], BaseException]]:
         """Block until idle; return (and clear) labeled failures instead of

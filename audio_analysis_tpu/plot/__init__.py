@@ -12,9 +12,23 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Tuple
 
+import os as _os
+
 import matplotlib
 
-matplotlib.use("Agg", force=False)  # headless-safe; overridable by user env
+# Headless-safe default WITHOUT killing interactive use: matplotlib.use()
+# would override an MPLBACKEND the user set (pyplot is imported right
+# below, so the rcParam would win), and on a desktop it would silently
+# turn every plt.show() into a no-op. Only force Agg when there is neither
+# a user-chosen backend nor a display to show on.
+import sys as _sys
+
+if (
+    "MPLBACKEND" not in _os.environ
+    and _sys.platform != "darwin"  # macOS shows windows without DISPLAY
+    and not (_os.environ.get("DISPLAY") or _os.environ.get("WAYLAND_DISPLAY"))
+):
+    matplotlib.use("Agg")
 
 import matplotlib.pyplot as plt  # noqa: E402
 import matplotlib.ticker as mticker  # noqa: E402

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from pathlib import Path
 from typing import Any
 
@@ -52,9 +53,26 @@ def _convert(value: Any, full_arrays: bool) -> Any:
     return value
 
 
+def _sanitize(value: Any) -> Any:
+    """NaN/±Inf -> null: json.dumps would otherwise emit bare NaN/Infinity
+    tokens, which are NOT valid JSON (JSON.parse, jq, Go/Rust decoders all
+    reject them) — and NaN is routine here (invalid diffusion windows,
+    failed band fits)."""
+    if isinstance(value, float):
+        return value if math.isfinite(value) else None
+    if isinstance(value, dict):
+        return {k: _sanitize(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_sanitize(v) for v in value]
+    return value
+
+
 def results_to_json(results: Any, full_arrays: bool = False) -> str:
-    """Serialise any analysis result pytree (dataclasses/arrays/dicts)."""
-    return json.dumps(_convert(results, full_arrays), indent=1)
+    """Serialise any analysis result pytree (dataclasses/arrays/dicts) to
+    STRICT JSON (non-finite floats become null)."""
+    return json.dumps(
+        _sanitize(_convert(results, full_arrays)), indent=1, allow_nan=False
+    )
 
 
 def write_results_json(path: str | Path, results: Any, full_arrays: bool = False) -> Path:

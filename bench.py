@@ -247,10 +247,11 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
     return timings
 
 
-def bench_bundle_plots_end_to_end(bundle_root: str) -> float:
+def bench_bundle_plots_end_to_end(bundle_root: str) -> tuple:
     """
     The full plot-based report path (matplotlib rendering overlapped with
     device compute on the plot-worker thread) over PLOT_TAPS taps.
+    Returns (elapsed_seconds, plot_processes, plot_timings_by_kind).
     """
     import json as json_mod
     import shutil
