@@ -165,7 +165,7 @@ def test_engine_bundle_report(tmp_path):
     content = index.read_text()
     assert "# IR Bundle Report (engine)" in content
     for name in taps:
-        assert f"- [{name}](reports/{name}/{name}_report.md)" in content
+        assert f"- [{name}]({name}/{name}_report.md)" in content  # relative to the index file
         tap_md = (root / "reports" / name / f"{name}_report.md").read_text()
         assert "## Decay / EDC" in tap_md
         assert "T30: range=[-5.0,-35.0]dB" in tap_md
