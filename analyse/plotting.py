@@ -9,5 +9,10 @@ from audio_analysis_tpu.plot import (  # noqa: F401
     label_decibel_axis,
     label_frequency_axis_hz,
     label_time_axis_seconds,
+    plot_log_magnitude_over_time,
+    plot_scatter,
+    plot_spectrogram,
+    plot_time_series,
+    plot_waterfall_lines,
     time_axis_from_sample_count,
 )

@@ -39,11 +39,18 @@ def main() -> None:
 
     from scipy.io import wavfile
 
+    import tempfile
+
     out_dir = REPO / "tests" / "golden" / "reference"
     out_dir.mkdir(parents=True, exist_ok=True)
+    # scratch artifacts go to a real temp dir, NOT the committed fixtures
+    # dir — a mid-run exception must not leave _tmp_* files where they
+    # could be committed
+    tmp_ctx = tempfile.TemporaryDirectory(prefix="ref_fixtures_")
+    tmp_dir = Path(tmp_ctx.name)
 
     ir = golden_utils.make_golden_ir()
-    wav_path = out_dir / "_tmp_golden_ir.wav"
+    wav_path = tmp_dir / "golden_ir.wav"
     pcm = np.clip(ir, -1.0, 1.0)
     wavfile.write(str(wav_path), golden_utils.SR, (pcm * 32767.0).astype(np.int16))
 
@@ -109,7 +116,7 @@ def main() -> None:
             str(wav_path),
             gd.GroupDelayAnalysisSettings(),
             gd.GroupDelayPlotSettings(),
-            output_basename=str(out_dir / "_tmp_gd"),
+            output_basename=str(tmp_dir / "gd"),
             show_interactive=False,
         )
     )
@@ -118,8 +125,7 @@ def main() -> None:
         (out_dir / f"{name}.txt").write_text(text.rstrip() + "\n")
         print(f"wrote {name}.txt")
 
-    for tmp in out_dir.glob("_tmp_*"):
-        tmp.unlink()
+    tmp_ctx.cleanup()
 
 
 if __name__ == "__main__":

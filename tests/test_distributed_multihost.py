@@ -75,7 +75,16 @@ def test_two_process_bundle_analysis(tmp_path):
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    # drain both pipes CONCURRENTLY: a sequential communicate() can
+    # deadlock if the other worker fills its 64 KiB stdout pipe before the
+    # collective barrier (verbose jax logs) while this one waits in it
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        logs = [
+            f.result()[0].decode()
+            for f in [pool.submit(p.communicate, timeout=600) for p in procs]
+        ]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 
@@ -151,7 +160,16 @@ def test_two_process_bundle_cli(tmp_path):
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    # drain both pipes CONCURRENTLY: a sequential communicate() can
+    # deadlock if the other worker fills its 64 KiB stdout pipe before the
+    # collective barrier (verbose jax logs) while this one waits in it
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        logs = [
+            f.result()[0].decode()
+            for f in [pool.submit(p.communicate, timeout=600) for p in procs]
+        ]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"CLI worker failed:\n{log[-4000:]}"
 

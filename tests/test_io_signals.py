@@ -238,7 +238,7 @@ def test_unwrap_parity_with_numpy():
     x = (rng.standard_normal(1 << 15) * np.exp(-np.arange(1 << 15) / 4000)).astype(np.float64)
     phase = np.angle(np.fft.rfft(x))
     expected = np.unwrap(phase)
-    got = np.asarray(jnp.unwrap(jnp.asarray(phase, jnp.float64) if False else jnp.asarray(phase, jnp.float32)))
+    got = np.asarray(jnp.unwrap(jnp.asarray(phase, jnp.float32)))
     # f32 accumulates over ~16k bins; allow small drift but no 2*pi jumps
     diff = np.abs(got - expected)
     assert diff.max() < 0.5  # far below one wrap (2*pi)

@@ -337,7 +337,10 @@ def test_ar_normal_equations_match_oracle():
     np.testing.assert_allclose(a_got[:3], true_a, atol=0.05)
 
     poles = spectral.ar_poles(a_got)
-    assert poles.size == p or poles.size > 0
+    # full pole set unless trailing near-zero coefficients were trimmed
+    # (an AR(3) process fitted at order 8 keeps non-negligible tail terms)
+    assert 1 <= poles.size <= p
+    assert poles.size >= 3  # at least the true AR(3) dynamics
     assert np.max(np.abs(poles)) < 1.0  # stable process -> stable poles
 
 
