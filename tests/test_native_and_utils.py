@@ -271,3 +271,36 @@ def test_platform_override_pins_jax_platforms():
     )
     assert run.returncode == 0, run.stderr[-500:]
     assert "override ok" in run.stdout
+
+
+def test_bench_device_probe_paths():
+    """bench._device_reachable: subprocess probe success, nonzero-exit and
+    hang paths (stubbed probe source — the real one needs the accelerator).
+    The retry ladder exists because the dev relay drops for minutes at a
+    time; a hung child must be abandoned, never waited on."""
+    import time
+
+    import bench
+
+    t0 = time.monotonic()
+    ok = bench._device_reachable(
+        total_deadline_seconds=30,
+        attempt_seconds=20,
+        probe_src="import os; print('PROBE_OK stub', flush=True); os._exit(0)",
+    )
+    assert ok and time.monotonic() - t0 < 15
+
+    bad = bench._device_reachable(
+        total_deadline_seconds=3,
+        attempt_seconds=6,
+        probe_src="import os; os._exit(3)",
+    )
+    assert not bad
+
+    t0 = time.monotonic()
+    hung = bench._device_reachable(
+        total_deadline_seconds=3,
+        attempt_seconds=2,
+        probe_src="import time; time.sleep(60)",
+    )
+    assert not hung and time.monotonic() - t0 < 30
