@@ -100,7 +100,10 @@ def rfft_mx(
     f_max (the modal cloud stops at 20 kHz of a 24 kHz Nyquist) skip the
     proportional share of stage-2 work and of every downstream plane.
     `n1` overrides the stage split (must divide N); default is the balanced
-    power-of-two split.
+    power-of-two split. Precision degrades with split imbalance — the wide
+    stage's f32 dense-DFT matmul accumulates: ~2e-7 relative at the
+    balanced split, measured ~1e-4 at n1 = N/2 for N = 8192 (deep-fuzz vs
+    np.fft.rfft in f64). Keep overrides within ~4x of balanced.
     """
     if n is None:
         n = x.shape[-1]
