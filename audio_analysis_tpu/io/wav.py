@@ -234,7 +234,15 @@ def _read_wav_raw(path: Path) -> Tuple[int, np.ndarray]:
     if result is None:
         from scipy.io import wavfile
 
-        sample_rate_hz, data = wavfile.read(str(path))
+        try:
+            sample_rate_hz, data = wavfile.read(str(path))
+        except (IOError, ValueError):
+            raise
+        except Exception as exc:
+            # scipy leaks raw internal errors on malformed headers (fuzzed:
+            # UnboundLocalError on a missing fmt chunk, ZeroDivisionError on
+            # zero channels/bits) — normalise to the loader's contract
+            raise IOError(f"unreadable WAV file {path}: {exc!r}") from exc
         result = (int(sample_rate_hz), data)
 
     if len(_RAW_CACHE) >= _RAW_CACHE_MAX:

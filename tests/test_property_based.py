@@ -121,3 +121,27 @@ def test_header_probe_parses_valid_layouts_with_junk_chunks(
 
     if native.available():
         assert native.read_wav_info(path) == (frames, channels, SR)
+
+
+def test_loader_normalises_scipy_internal_errors(tmp_path):
+    """Malformed WAVs must raise IOError/ValueError from load_wav_file, not
+    scipy internals (fuzzed: UnboundLocalError on a RIFF file with no fmt
+    chunk; ZeroDivisionError on zero channels/bits)."""
+    from audio_analysis_tpu.io.wav import load_wav_file
+
+    cases = {
+        # RIFF/WAVE container with garbage where the chunks should be
+        "no_fmt.wav": b"RIFF" + struct.pack("<I", 40) + b"WAVE" + b"\x01" * 36,
+        # fmt chunk declaring zero channels and zero bits
+        "zero_ch.wav": (
+            b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 0, 48000, 0, 0, 0)
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        ),
+    }
+    for name, data in cases.items():
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises((IOError, ValueError)):
+            load_wav_file(p, expected_channel_mode="mono_or_stereo")
