@@ -16,12 +16,15 @@ built; all call sites must handle that by using the scipy path.
 from __future__ import annotations
 
 import ctypes
+import os
 from pathlib import Path
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 _LIB_CANDIDATES = [
+    # explicit override first: relocated deployments, sanitizer builds
+    *([Path(os.environ["AA_AUDIOIO_LIB"])] if os.environ.get("AA_AUDIOIO_LIB") else []),
     Path(__file__).resolve().parents[2] / "cpp" / "build" / "libaudioio.so",
     Path(__file__).resolve().parents[2] / "cpp" / "libaudioio.so",
 ]

@@ -117,6 +117,11 @@ int probe_wav(const std::string& path, WavInfo& info) {
 int decode_wav(const std::string& path, const WavInfo& info, float* out, int64_t capacity) {
     const int64_t total = info.frames * info.channels;
     if (total > capacity) return kErrCapacity;
+    // zero-frame file (e.g. data chunk smaller than one frame): nothing to
+    // decode — and memcpy/loops below must not run on an empty vector's
+    // (possibly null) data() pointer (UBSan: "null passed as argument
+    // declared never-null")
+    if (total == 0) return 0;
 
     std::ifstream f(path, std::ios::binary);
     if (!f) return kErrOpen;
