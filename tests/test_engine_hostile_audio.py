@@ -65,3 +65,18 @@ def test_engine_survives_hostile_taps():
     gi = names.index("good")
     assert out["t30_ok"][gi].all()
     np.testing.assert_allclose(out["t30_rt60"][gi], 0.4, rtol=0.05)
+
+
+def test_engine_survives_zero_and_one_sample_lengths():
+    """lengths of 0 and 1 (empty/degenerate taps in a padded batch) must
+    produce ok=False metrics, not crashes or claimed fits."""
+    n = 1 << 14
+    batch = np.zeros((3, 2, n), np.float32)
+    batch[2, :, 64] = 0.9
+    lengths = np.array([0, 1, n], np.int32)
+
+    out = analyze_batch(jnp.asarray(batch), jnp.asarray(lengths), EngineConfig())
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    for key in ("t30_ok", "t20_ok", "edt_ok"):
+        assert not out[key][:2].any(), key
