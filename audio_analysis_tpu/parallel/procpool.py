@@ -22,7 +22,13 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 import time
-from concurrent.futures import FIRST_COMPLETED, Future, ProcessPoolExecutor, wait
+from concurrent.futures import (
+    FIRST_COMPLETED,
+    BrokenExecutor,
+    Future,
+    ProcessPoolExecutor,
+    wait,
+)
 from typing import Callable, Dict, List, Optional, Tuple
 
 from audio_analysis_tpu.parallel.overlap import KindTimer, _job_kind
@@ -75,28 +81,47 @@ class ProcessPlotPool:
             initializer=_worker_init,
         )
         self._max_pending = max(2, max_pending_jobs)
-        self._pending: List[Tuple[Optional[str], str, Future]] = []
+        self._pending: List[Tuple[Optional[str], str, Callable[[], None], Future]] = []
         self._errors: List[Tuple[Optional[str], BaseException]] = []
         # per-kind CHILD wall seconds (summed across workers, so totals can
         # exceed parent wall time when renders run concurrently)
         self._timer = KindTimer()
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
-        while sum(not f.done() for _, _, f in self._pending) >= self._max_pending:
-            wait([f for _, _, f in self._pending if not f.done()], return_when=FIRST_COMPLETED)
+        while sum(not f.done() for _, _, _, f in self._pending) >= self._max_pending:
+            wait(
+                [f for _, _, _, f in self._pending if not f.done()],
+                return_when=FIRST_COMPLETED,
+            )
         try:
             future = self._pool.submit(_run_timed, job)
-        except BaseException as exc:  # noqa: BLE001 — pool broken; surfaced in drain()
-            self._errors.append((label, exc))
+        except BaseException:  # noqa: BLE001 — pool broken; render inline below
+            self._run_inline(job, label)
             return
-        self._pending.append((label, _job_kind(job), future))
+        self._pending.append((label, _job_kind(job), job, future))
+
+    def _run_inline(self, job: Callable[[], None], label: Optional[str]) -> None:
+        """Degraded mode: render in THIS process. Used when the pool has
+        broken (e.g. the OOM killer took a spawn worker mid-bundle) — the
+        figures must still be written, just without parallelism. Safe:
+        matplotlib is only ever touched from the caller's thread on this
+        path (there is no thread worker in the pool flavor)."""
+        seconds, err = _run_timed(job)
+        self._timer.add(_job_kind(job), seconds)
+        if err is not None:
+            self._errors.append((label, err))
 
     def _collect(self) -> None:
         pending, self._pending = self._pending, []
-        for label, kind, future in pending:
+        for label, kind, job, future in pending:
             exc = future.exception()  # waits for completion; pool-level only
             if exc is not None:
-                self._errors.append((label, exc))
+                if isinstance(exc, BrokenExecutor):
+                    # the job never ran (worker killed / pool broken):
+                    # retry inline so the tap keeps its figures
+                    self._run_inline(job, label)
+                else:
+                    self._errors.append((label, exc))
                 continue
             seconds, err = future.result()
             self._timer.add(kind, seconds)

@@ -135,3 +135,37 @@ def test_process_pool_matches_thread_worker(tmp_path):
     assert thread_md == procs_md
     assert results["thread"]["pngs"] == results["procs"]["pngs"]
     assert len(results["procs"]["pngs"]) > 0
+
+
+def _die_if_pool_worker():
+    """Kill the hosting process ONLY when it is a spawn pool worker —
+    the inline retry of this same job in the parent is a no-op."""
+    import multiprocessing as _mp
+    import os as _os
+
+    if _mp.parent_process() is not None:
+        _os._exit(3)
+
+
+def _touch_marker(path):
+    Path(path).write_text("ran")
+
+
+def test_broken_pool_falls_back_to_inline_rendering(tmp_path):
+    """A killed pool worker (OOM killer took it mid-bundle) must not lose
+    figure jobs: broken-executor futures retry inline in the parent."""
+    from functools import partial
+
+    from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
+
+    pool = ProcessPlotPool(1)
+    marker = tmp_path / "after.txt"
+    pool.submit(_die_if_pool_worker, label="killer")
+    pool.submit(partial(_touch_marker, str(marker)), label="after")
+    failures = pool.drain_collect()
+    pool.close()
+
+    # the job queued behind the dead worker still ran (inline fallback)
+    assert marker.read_text() == "ran"
+    # and the killer job's inline retry was a clean no-op
+    assert failures == []
