@@ -17,6 +17,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# `AA_PLATFORM=cpu python -m pytest tests/` pins the whole suite to the
+# named backend, exactly like the CLIs (utils/platform.py). Without this
+# the suite always initialises the accelerator plugin's default backend,
+# which hangs for the whole run when the dev relay is down — the only
+# alternative recipe (`env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu`)
+# has to be rediscovered every outage.
+if os.environ.get("AA_PLATFORM", "").strip():
+    from audio_analysis_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
