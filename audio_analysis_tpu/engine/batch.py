@@ -72,6 +72,14 @@ class EngineConfig:
     band_f_min_hz: float = 31.5
     band_f_max_hz: float = 16000.0
     transition_width_octaves: float = 1.0 / 6.0
+    # Spectrum-crop decimation for low bands (fftmask.band_decimation_factors):
+    # the Low band's inverse FFT + EDC + fit planes shrink 32x, Mid 4x at the
+    # default edges (2x oversampling margin). Band samples are exact; the EDC
+    # partial sums differ by windowed Riemann/boundary terms that grow with k
+    # — measured <= 0.4 dB above -30 dB and <= 0.5% on T30/T20/EDT fits
+    # (tests/test_bands_decimate.py). Opt-in until measured on the chip
+    # (scripts/bench_bands_decimate.py).
+    bands_decimate: bool = False
 
     # spectra
     f_min_hz: float = 20.0
@@ -246,31 +254,83 @@ def analyze_batch(
 
     # ---- rt60 bands: one batched filterbank + one batched fit set ----
     if config.run_bands:
-        masks = jnp.asarray(_band_masks(config, n))
+        masks_np = _band_masks(config, n)
+        masks = jnp.asarray(masks_np)
         num_bands = masks.shape[0]
         band_ranges = (
             ("band_t30", config.t30_range_db),
             ("band_t20", config.t20_range_db),
             ("band_edt", config.edt_range_db),
         )
+        # per-band spectrum-crop decimation (opt-in): bands whose mask
+        # support fits below a coarser Nyquist inverse-transform at N/k and
+        # run their EDC + fits on planes k times smaller — exact band
+        # samples (ops/fftmask.band_decimation_factors), the filter still
+        # sees the full signal (rt60bands.py:392-394 order). Groups are
+        # static per config, so each distinct k compiles one batched
+        # inverse. The deviation vs the full-rate path is the fit sample
+        # grid + a < k-sample trim-boundary sliver (parity-tested).
+        factors = (
+            fftmask.band_decimation_factors(masks_np, n)
+            if config.bands_decimate
+            else (1,) * num_bands
+        )
+        dec_groups: Dict[int, Tuple[int, ...]] = {}
+        for band_idx, factor in enumerate(factors):
+            dec_groups[factor] = dec_groups.get(factor, ()) + (band_idx,)
+        group_masks = {
+            factor: jnp.asarray(fftmask.crop_half_masks(masks_np[list(idxs)], n, factor))
+            for factor, idxs in dec_groups.items()
+        }
 
         def bands_one(args):
             samples_1, start_1, length_1 = args  # (C, N), (C,), (C,)
-            banded = fftmask.apply_band_masks(samples_1, masks)  # (C, bands, N)
-            banded_aligned = trim.shift_to(
-                banded,
-                jnp.broadcast_to(start_1[..., None], banded.shape[:-1]),
-                jnp.broadcast_to(length_1[..., None], banded.shape[:-1]),
-            )
-            band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
-            res = {}
-            for name, range_db in band_ranges:
-                fit = dbfit.fit_decay_slope_over_db_range(
-                    band_curve.edc_db, band_curve.length, range_db, config.fit_lower_limit_db, sr
+            if factors == (1,) * num_bands:
+                banded = fftmask.apply_band_masks(samples_1, masks)  # (C, bands, N)
+                banded_aligned = trim.shift_to(
+                    banded,
+                    jnp.broadcast_to(start_1[..., None], banded.shape[:-1]),
+                    jnp.broadcast_to(length_1[..., None], banded.shape[:-1]),
                 )
-                res[f"{name}_rt60"] = fit.rt60_seconds  # (C, bands)
-                res[f"{name}_ok"] = fit.ok
-            return res
+                band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
+                res = {}
+                for name, range_db in band_ranges:
+                    fit = dbfit.fit_decay_slope_over_db_range(
+                        band_curve.edc_db, band_curve.length, range_db, config.fit_lower_limit_db, sr
+                    )
+                    res[f"{name}_rt60"] = fit.rt60_seconds  # (C, bands)
+                    res[f"{name}_ok"] = fit.ok
+                return res
+            # grouped decimated path: one forward transform, one inverse +
+            # EDC + fit set per distinct factor; columns stitched back into
+            # the band order
+            kind, spectrum = fftmask.full_band_spectrum(samples_1)
+            cols: Dict[str, list] = {}
+            for name, _range in band_ranges:
+                cols[f"{name}_rt60"] = [None] * num_bands
+                cols[f"{name}_ok"] = [None] * num_bands
+            for factor, idxs in sorted(dec_groups.items()):
+                banded = fftmask.banded_from_spectrum(
+                    kind, spectrum, group_masks[factor], n, factor
+                )  # (C, group, N // factor)
+                banded_aligned = trim.shift_to(
+                    banded,
+                    jnp.broadcast_to((start_1 // factor)[..., None], banded.shape[:-1]),
+                    jnp.broadcast_to((length_1 // factor)[..., None], banded.shape[:-1]),
+                )
+                band_curve = _edc(banded_aligned.samples, banded_aligned.length, config)
+                for name, range_db in band_ranges:
+                    fit = dbfit.fit_decay_slope_over_db_range(
+                        band_curve.edc_db,
+                        band_curve.length,
+                        range_db,
+                        config.fit_lower_limit_db,
+                        sr / factor,
+                    )
+                    for group_col, band_idx in enumerate(idxs):
+                        cols[f"{name}_rt60"][band_idx] = fit.rt60_seconds[..., group_col]
+                        cols[f"{name}_ok"][band_idx] = fit.ok[..., group_col]
+            return {key: jnp.stack(vals, axis=-1) for key, vals in cols.items()}
 
         if num_bands > 3:
             # octave/third-octave: the (B, C, bands, N) filterbank intermediate

@@ -181,8 +181,129 @@ def build_fractional_octave_band_definitions(
 
 
 # ----------------------------------------------------------------------------
+# band decimation factors (host-side, from the mask matrix)
+# ----------------------------------------------------------------------------
+
+
+def band_decimation_factors(
+    masks: np.ndarray,
+    num_samples: int,
+    max_factor: int = 64,
+    min_length: int = 16384,
+) -> tuple:
+    """
+    Per-band power-of-two decimation factors for the cropped-spectrum
+    inverse (`banded_from_spectrum` with decimation > 1).
+
+    A band whose mask support lies entirely below the decimated Nyquist is
+    EXACTLY representable at sample rate sr/k: the length-(N/k) inverse of
+    the cropped masked spectrum equals the full-rate band signal sampled at
+    every k-th instant (no approximation — the discarded bins are zero).
+    By the same token (Poisson summation on the bandlimited x²) its energy
+    partial-sums match the full-rate Schroeder integrals up to windowed
+    Riemann/boundary terms that grow ~linearly with k (measured ~0.01·k dB
+    on the band EDC above -30 dB for noise-excited decays), so band EDC +
+    decay fits can run on planes k times smaller. The reference's Low band
+    (rt60bands.py:127-137: pass 250 Hz × 2^(1/6) transition) supports
+    k = 32 at N = 2^20 / 48 kHz under the margin rule below.
+
+    Constraints per band: mask support bin ≤ (N/k)/4 — a 2x oversampling
+    margin beyond bare representability, which both keeps x² (bandwidth
+    twice the band's) alias-free on the decimated grid and bounds the
+    measured EDC deviation at ≤ ~0.4 dB — N % k == 0 with N/k even (the
+    packed-stereo mirror needs an even length), N/k ≥ `min_length` (fit
+    resolution; the default keeps the Pallas EDC kernel's N % 16384 == 0
+    shape contract for pow-2 N), and k ≤ `max_factor`.
+    """
+    factors = []
+    for row in np.asarray(masks):
+        nonzero = np.nonzero(row > 0.0)[0]
+        support_stop = int(nonzero[-1]) if nonzero.size else 1
+        k = 1
+        while (
+            k * 2 <= max_factor
+            and num_samples % (k * 2) == 0
+            and num_samples // (k * 2) >= min_length
+            and (num_samples // (k * 2)) % 2 == 0
+            and support_stop <= (num_samples // (k * 2)) // 4
+        ):
+            k *= 2
+        factors.append(k)
+    return tuple(factors)
+
+
+def crop_half_masks(masks: np.ndarray, num_samples: int, decimation: int) -> np.ndarray:
+    """
+    Host-side companion of `banded_from_spectrum`: crop the (bands, N/2+1)
+    half-spectrum masks to the decimated grid's (bands, M/2+1) and fold in
+    the 1/k inverse-length rescale (irfft at length M = N/k scales by 1/M
+    where the full-rate inverse scales by 1/N — dividing the mask by k makes
+    the decimated output equal the full-rate band signal's samples exactly).
+    """
+    m = num_samples // decimation
+    return (np.asarray(masks)[:, : m // 2 + 1] / float(decimation)).astype(np.float32)
+
+
+# ----------------------------------------------------------------------------
 # device-side batched application
 # ----------------------------------------------------------------------------
+
+
+def full_band_spectrum(x: jnp.ndarray):
+    """
+    The forward transform shared by every band/decimation group.
+
+    Returns ("packed", fft(L + iR)) for a stereo pair — one c2c transform
+    carries both channels because the band masks are real and even
+    (conjugate-symmetric), so filtering commutes with the packing — or
+    ("real", rfft(x)) otherwise.
+    """
+    n = x.shape[-1]
+    if x.ndim >= 2 and x.shape[-2] == 2 and n % 2 == 0:
+        z = jax.lax.complex(x[..., 0, :], x[..., 1, :])  # (..., N)
+        return "packed", jnp.fft.fft(z, axis=-1)
+    return "real", jnp.fft.rfft(x, axis=-1)
+
+
+def banded_from_spectrum(
+    kind: str,
+    spectrum: jnp.ndarray,
+    masks: jnp.ndarray,
+    num_samples: int,
+    decimation: int = 1,
+) -> jnp.ndarray:
+    """
+    Apply (bands, M/2+1) half-spectrum masks (see `crop_half_masks`) to a
+    precomputed full-signal spectrum and inverse-transform at length
+    M = num_samples / decimation.
+
+    kind "real":   spectrum (..., N/2+1) -> (..., bands, M)
+    kind "packed": spectrum (..., N) c2c of L + iR -> (..., 2, bands, M)
+
+    With decimation > 1 the crop keeps only the bins below the decimated
+    Nyquist — exact for bands whose mask support fits (see
+    `band_decimation_factors`); the spectrum slices are contiguous
+    (gather-free). The filter still sees the FULL signal (the reference's
+    filter-then-trim order, rt60bands.py:392-394) — only the inverse grid
+    is coarser.
+    """
+    m = num_samples // decimation
+    if kind == "packed":
+        # decimated c2c grid: positive freqs 0..M/2, negative freqs are the
+        # LAST M/2-1 bins of the full spectrum (identity slices at k = 1)
+        pos = spectrum[..., : m // 2 + 1]
+        neg = spectrum[..., num_samples - (m // 2 - 1) :]
+        spectrum_m = jnp.concatenate([pos, neg], axis=-1)  # (..., M)
+        # mirror the rfft-half mask to the full grid: mask_full[g] =
+        # mask[M-g] for g > M/2 (reverse of the interior — a flip, NOT a
+        # gather)
+        masks_full = jnp.concatenate([masks, masks[:, 1:-1][:, ::-1]], axis=-1)
+        z_banded = jnp.fft.ifft(spectrum_m[..., None, :] * masks_full, axis=-1)
+        return jnp.stack(
+            [jnp.real(z_banded), jnp.imag(z_banded)], axis=-3
+        ).astype(jnp.float32)
+    banded = spectrum[..., None, : m // 2 + 1] * masks  # (..., bands, M/2+1)
+    return jnp.fft.irfft(banded, n=m, axis=-1).astype(jnp.float32)
 
 
 def apply_band_masks(x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
@@ -197,22 +318,5 @@ def apply_band_masks(x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     (real part = L, imag = R). Exact in exact arithmetic; halves the FFT
     work where the TPU FFT doesn't exploit real-input symmetry.
     """
-    n = x.shape[-1]
-    if x.ndim >= 2 and x.shape[-2] == 2 and n % 2 == 0:
-        return _apply_band_masks_packed_stereo(x, masks, n)
-    spectrum = jnp.fft.rfft(x, axis=-1)  # (..., F)
-    banded = spectrum[..., None, :] * masks  # (..., bands, F)
-    return jnp.fft.irfft(banded, n=n, axis=-1).astype(jnp.float32)
-
-
-def _apply_band_masks_packed_stereo(x: jnp.ndarray, masks: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(..., 2, N) real -> (..., 2, bands, N) via the L + iR c2c packing."""
-    z = jax.lax.complex(x[..., 0, :], x[..., 1, :])  # (..., N)
-    spectrum = jnp.fft.fft(z, axis=-1)  # (..., N)
-    # mirror the rfft-half mask to the full spectrum: mask_full[k] = mask[N-k]
-    # for k > N/2 (reverse of the interior — a cheap flip, NOT a gather)
-    masks_full = jnp.concatenate([masks, masks[:, 1:-1][:, ::-1]], axis=-1)  # (bands, N)
-    z_banded = jnp.fft.ifft(spectrum[..., None, :] * masks_full, axis=-1)  # (..., bands, N)
-    return jnp.stack(
-        [jnp.real(z_banded), jnp.imag(z_banded)], axis=-3
-    ).astype(jnp.float32)
+    kind, spectrum = full_band_spectrum(x)
+    return banded_from_spectrum(kind, spectrum, masks, x.shape[-1])

@@ -1,0 +1,219 @@
+"""Spectrum-crop band decimation (ops/fftmask + engine bands_decimate).
+
+The decimated inverse must reproduce the full-rate band signal exactly at
+the decimated instants (the crop discards only zero-mask bins), and the
+engine's decimated band EDC + fits must agree with the full-rate path to
+fit-grid tolerance. Reference anchor: rt60bands.py:392-399 (filter the
+FULL signal, then trim, then EDC + T30 per band).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audio_analysis_tpu.engine import EngineConfig
+from audio_analysis_tpu.engine.batch import analyze_batch
+from audio_analysis_tpu.ops import fftmask
+
+SR = 48_000
+
+
+def _three_band_masks(n):
+    bands = fftmask.build_three_band_definitions(SR)
+    return bands, fftmask.build_band_mask_matrix(bands, n, SR, 1.0 / 6.0)
+
+
+def test_decimation_factors_constraints():
+    n = 1 << 16
+    _bands, masks = _three_band_masks(n)
+    factors = fftmask.band_decimation_factors(masks, n, min_length=2048)
+    assert len(factors) == 3
+    low_k, mid_k, high_k = factors
+    # High reaches Nyquist: no crop possible
+    assert high_k == 1
+    assert low_k > mid_k > 1
+    for row, k in zip(masks, factors):
+        if k == 1:
+            continue  # undecimated: no margin constraint applies
+        m = n // k
+        assert n % k == 0 and m % 2 == 0 and m >= 2048
+        support_stop = int(np.nonzero(row > 0)[0][-1])
+        assert support_stop <= m // 4  # 2x oversampling margin
+    # min_length caps the factor
+    capped = fftmask.band_decimation_factors(masks, n, min_length=n // 2)
+    assert capped == (2, 2, 1)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_decimated_band_signal_matches_subsampled_full(channels):
+    """The (packed-stereo and rfft) decimated inverse == full band signal
+    sampled every k-th instant, to f32 exactness."""
+    n = 1 << 16
+    bands, masks = _three_band_masks(n)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((channels, n)).astype(np.float32)
+
+    full = np.asarray(fftmask.apply_band_masks(jnp.asarray(x), jnp.asarray(masks)))
+    kind, spectrum = fftmask.full_band_spectrum(jnp.asarray(x))
+    assert kind == ("packed" if channels == 2 else "real")
+
+    factors = fftmask.band_decimation_factors(masks, n, min_length=2048)
+    assert max(factors) >= 16  # the test must actually exercise a deep crop
+    for i, k in enumerate(factors):
+        cropped = jnp.asarray(fftmask.crop_half_masks(masks[i : i + 1], n, k))
+        dec = np.asarray(fftmask.banded_from_spectrum(kind, spectrum, cropped, n, k))
+        got = dec[..., 0, :]
+        ref = full[..., i, ::k]
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        assert np.max(np.abs(got - ref)) / scale < 5e-6, bands[i].name
+
+
+def test_apply_band_masks_unchanged_by_refactor():
+    """apply_band_masks (k=1 path) still matches a direct rfft*mask*irfft."""
+    n = 1 << 14
+    _bands, masks = _three_band_masks(n)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    out = np.asarray(fftmask.apply_band_masks(jnp.asarray(x), jnp.asarray(masks)))
+    ref = np.fft.irfft(np.fft.rfft(x.astype(np.float64))[:, None, :] * masks, n=n)
+    assert np.max(np.abs(out - ref)) < 1e-5
+
+
+def test_decimated_band_edc_matches_full_rate_curve():
+    """Curve-level guarantee: the decimated band EDC tracks the full-rate
+    band EDC sampled every k-th instant. Sub-dB agreement through the fit
+    ranges; the deep tail carries the intrinsic subsample variance of a
+    noisy narrowband energy integral (bandwidth x remaining-time degrees of
+    freedom), and the last few decimated samples are the small-sample
+    end-of-curve regime — excluded, as the fits never reach them (ranges
+    stop at -35 dB, floor -80 dB)."""
+    from audio_analysis_tpu.ops import edc, trim
+
+    n = 1 << 16
+    start = 1024  # divisible by every factor, so both grids align exactly
+    _bands, masks = _three_band_masks(n)
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / SR
+    # realistic IR shape: silence -> peak -> decay. (A signal at FULL
+    # amplitude at sample 0 would wrap half the zero-phase filter response
+    # to the buffer END, parking a pre-echo bump in the last ~k samples the
+    # decimated grid does not cover — a boundary sliver real IRs don't
+    # have; see bands_decimate's docstring.)
+    x = np.zeros((2, n), np.float32)
+    x[:, start:] = (
+        0.05 * rng.standard_normal((2, n - start)) * 10.0 ** (-3.0 * t[: n - start] / 0.5)
+    ).astype(np.float32)
+    x[:, start] = 0.9
+
+    factors = fftmask.band_decimation_factors(masks, n, min_length=1024)
+    kind, spectrum = fftmask.full_band_spectrum(jnp.asarray(x))
+    full_banded = fftmask.apply_band_masks(jnp.asarray(x), jnp.asarray(masks))
+    full_aligned = trim.shift_to(
+        full_banded,
+        jnp.full(full_banded.shape[:-1], start, jnp.int32),
+        jnp.full(full_banded.shape[:-1], n, jnp.int32),
+    )
+    full_edc = np.asarray(edc.schroeder_edc_db(full_aligned.samples, full_aligned.length).edc_db)
+
+    for i, k in enumerate(factors):
+        if k == 1:
+            continue
+        cropped = jnp.asarray(fftmask.crop_half_masks(masks[i : i + 1], n, k))
+        dec = fftmask.banded_from_spectrum(kind, spectrum, cropped, n, k)
+        dec_aligned = trim.shift_to(
+            dec,
+            jnp.full(dec.shape[:-1], start // k, jnp.int32),
+            jnp.full(dec.shape[:-1], n // k, jnp.int32),
+        )
+        dec_edc = np.asarray(edc.schroeder_edc_db(dec_aligned.samples, dec_aligned.length).edc_db)
+        ref = full_edc[:, i, ::k]
+        got = dec_edc[:, 0, :]
+        valid = int(np.asarray(dec_aligned.length)[0, 0])
+        end_margin = np.arange(ref.shape[-1]) < valid - 32
+        diff = np.abs(got - ref)
+        assert np.max(diff[(ref > -30.0) & end_margin]) < 0.5, (i, k)
+        assert np.max(diff[(ref > -60.0) & end_margin]) < 0.8, (i, k)
+
+
+def _banded_sine_batch(band_defs, n, taps=3):
+    """Well-conditioned per-band decays: one sinusoid per band centre, each
+    under its own known exponential envelope, plus an alignment impulse at
+    a k-divisible peak. Deterministic and smooth, so every band's EDC is a
+    clean exponential and the T20/T30/EDT fits are far from their rejection
+    edges (unlike broadband noise, whose narrowband EDCs fluctuate with a
+    handful of degrees of freedom and flip crossings under ANY tiny
+    perturbation — f64 oracle or decimation alike). The per-band rt60s are
+    spaced ~10% apart — enough to catch a band-order mixup, gentle enough
+    that transition-skirt leakage between neighbours stays single-slope."""
+    t = np.arange(n) / SR
+    peak = 1024
+    batch = np.zeros((taps, 2, n), np.float32)
+    for tap in range(taps):
+        sig = np.zeros((2, n))
+        for j, band in enumerate(band_defs):
+            rt60 = 0.25 + 0.03 * j + 0.02 * tap
+            env = 10.0 ** (-3.0 * t / rt60)
+            for ch in range(2):
+                phase = 0.7 * j + 1.3 * ch + 0.4 * tap
+                sig[ch] += 0.2 * np.sin(2.0 * np.pi * band.centre_hz * t + phase) * env
+        sig[:, :peak] = 0.0
+        sig[:, peak] = 0.9
+        batch[tap] = sig.astype(np.float32)
+    lengths = np.array([n, n, n - 4096][:taps], np.int32)
+    return batch, lengths
+
+
+@pytest.mark.parametrize("band_mode", ["three", "octave"])
+def test_engine_bands_decimate_matches_full_rate(band_mode):
+    """EngineConfig(bands_decimate=True) band metrics == full-rate metrics
+    on well-conditioned band decays, ragged lengths included."""
+    n = 1 << 17
+    band_defs = (
+        fftmask.build_three_band_definitions(SR)
+        if band_mode == "three"
+        else fftmask.build_fractional_octave_band_definitions(SR, 1)
+    )
+    batch, lengths = _banded_sine_batch(band_defs, n)
+    base_kwargs = dict(
+        band_mode=band_mode,
+        run_stft=False,
+        run_modal=False,
+        run_diffusion=False,
+        run_fr=False,
+        run_group_delay=False,
+    )
+    full = analyze_batch(
+        jnp.asarray(batch), jnp.asarray(lengths), EngineConfig(**base_kwargs)
+    )
+    dec = analyze_batch(
+        jnp.asarray(batch),
+        jnp.asarray(lengths),
+        EngineConfig(bands_decimate=True, **base_kwargs),
+    )
+    # the decimated path must actually engage for this shape
+    masks = fftmask.build_band_mask_matrix(band_defs, n, SR, 1.0 / 6.0)
+    assert max(fftmask.band_decimation_factors(masks, n)) > 1
+
+    # the known fixture rt60 per (tap, band); fits are compared only where
+    # the FULL-RATE path actually recovers it (within 2x) — the lowest
+    # octave bands are contaminated by the broadband alignment impulse
+    # (whose in-band energy rivals a 22 Hz-wide band's own sinusoid) and
+    # produce multi-slope EDCs whose crossings are chaotic under any
+    # perturbation, full-rate and decimated alike
+    taps, channels, num_bands = np.asarray(full["band_t30_rt60"]).shape
+    expected = np.empty((taps, channels, num_bands))
+    for tap in range(taps):
+        for j in range(num_bands):
+            expected[tap, :, j] = 0.25 + 0.03 * j + 0.02 * tap
+
+    compared = 0
+    for key in ("band_t30_rt60", "band_t20_rt60", "band_edt_rt60"):
+        ok = np.asarray(full[key.replace("_rt60", "_ok")])
+        ok_dec = np.asarray(dec[key.replace("_rt60", "_ok")])
+        np.testing.assert_array_equal(ok, ok_dec, err_msg=key)
+        a = np.asarray(full[key])
+        b = np.asarray(dec[key])
+        meaningful = ok & (np.abs(a - expected) < 0.5 * expected)
+        compared += int(meaningful.sum())
+        np.testing.assert_allclose(b[meaningful], a[meaningful], rtol=5e-3, err_msg=key)
+    assert compared > 3 * taps * channels * (num_bands // 2)  # most fits compared
