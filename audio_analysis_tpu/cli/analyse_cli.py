@@ -176,6 +176,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bands", dest="band_mode", type=str, default="three",
                    choices=["three", "octave", "third"],
                    help="RT60 band mode for the engine fast path (rt60bands.py band modes).")
+    p.add_argument("--bands-decimate", dest="bands_decimate", action="store_true",
+                   help="Experimental: run low-band EDC/fits on spectrum-crop decimated "
+                        "planes (exact band samples; fits within 0.5%% of full rate — "
+                        "see EngineConfig.bands_decimate).")
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
                    help="Render figures on a process pool of this many workers "
                         "(multi-core hosts); 0 = single render thread.")
@@ -764,6 +768,7 @@ def main(argv=None) -> None:
                 _replace(
                     EngineConfig(),
                     band_mode=str(getattr(args, "band_mode", "three")),
+                    bands_decimate=bool(getattr(args, "bands_decimate", False)),
                     downmix_to_mono=bool(args.use_mono_downmix),
                 ),
                 reports_subdir=str(args.reports_subdir),
@@ -784,7 +789,9 @@ def main(argv=None) -> None:
                     reports_subdir=str(args.reports_subdir),
                     use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
                     config=_replace(
-                        EngineConfig(), band_mode=str(getattr(args, "band_mode", "three"))
+                        EngineConfig(),
+                        band_mode=str(getattr(args, "band_mode", "three")),
+                        bands_decimate=bool(getattr(args, "bands_decimate", False)),
                     ),
                 ),
             )

@@ -268,6 +268,32 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     assert "(cached)" in index2.read_text()
 
 
+def test_cli_bundle_bands_decimate_wiring(tmp_path, monkeypatch, capsys):
+    """--bands-decimate reaches EngineConfig on the engine fast path."""
+    import audio_analysis_tpu.report as report_pkg
+    from audio_analysis_tpu.cli import analyse_cli
+
+    captured = {}
+
+    def fake_engine_report(root, settings):
+        captured["config"] = settings.config
+        return Path(root) / "reports" / "index.md"
+
+    monkeypatch.setattr(report_pkg, "run_bundle_report_engine", fake_engine_report)
+    analyse_cli.main(
+        [
+            "bundle",
+            "--input", str(tmp_path),
+            "--no-plots",
+            "--bands-decimate",
+            "--bands", "octave",
+        ]
+    )
+    assert captured["config"].bands_decimate is True
+    assert captured["config"].band_mode == "octave"
+    capsys.readouterr()
+
+
 def test_cli_json_flag(tmp_path, capsys, ir_wav):
     """--json on a subcommand writes the result pytree next to the summary."""
     from audio_analysis_tpu.cli import analyse_cli
