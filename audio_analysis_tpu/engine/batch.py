@@ -255,8 +255,7 @@ def analyze_batch(
     # ---- rt60 bands: one batched filterbank + one batched fit set ----
     if config.run_bands:
         masks_np = _band_masks(config, n)
-        masks = jnp.asarray(masks_np)
-        num_bands = masks.shape[0]
+        num_bands = masks_np.shape[0]
         band_ranges = (
             ("band_t30", config.t30_range_db),
             ("band_t20", config.t20_range_db),
@@ -275,17 +274,23 @@ def analyze_batch(
             if config.bands_decimate
             else (1,) * num_bands
         )
-        dec_groups: Dict[int, Tuple[int, ...]] = {}
-        for band_idx, factor in enumerate(factors):
-            dec_groups[factor] = dec_groups.get(factor, ()) + (band_idx,)
-        group_masks = {
-            factor: jnp.asarray(fftmask.crop_half_masks(masks_np[list(idxs)], n, factor))
-            for factor, idxs in dec_groups.items()
-        }
+        # only one branch of bands_one traces, so only its mask constants
+        # are built and captured (each is a multi-MB f32 matrix)
+        decimated = factors != (1,) * num_bands
+        if decimated:
+            dec_groups: Dict[int, Tuple[int, ...]] = {}
+            for band_idx, factor in enumerate(factors):
+                dec_groups[factor] = dec_groups.get(factor, ()) + (band_idx,)
+            group_masks = {
+                factor: jnp.asarray(fftmask.crop_half_masks(masks_np[list(idxs)], n, factor))
+                for factor, idxs in dec_groups.items()
+            }
+        else:
+            masks = jnp.asarray(masks_np)
 
         def bands_one(args):
             samples_1, start_1, length_1 = args  # (C, N), (C,), (C,)
-            if factors == (1,) * num_bands:
+            if not decimated:
                 banded = fftmask.apply_band_masks(samples_1, masks)  # (C, bands, N)
                 banded_aligned = trim.shift_to(
                     banded,

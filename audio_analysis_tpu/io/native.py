@@ -23,8 +23,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _LIB_CANDIDATES = [
-    # explicit override first: relocated deployments, sanitizer builds
-    *([Path(os.environ["AA_AUDIOIO_LIB"])] if os.environ.get("AA_AUDIOIO_LIB") else []),
     Path(__file__).resolve().parents[2] / "cpp" / "build" / "libaudioio.so",
     Path(__file__).resolve().parents[2] / "cpp" / "libaudioio.so",
 ]
@@ -38,6 +36,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if _load_attempted:
         return _lib
     _load_attempted = True
+    override = os.environ.get("AA_AUDIOIO_LIB")
+    if override:
+        # An explicit override (relocated deployments, sanitizer builds)
+        # must be honored or fail loudly — silently falling back to the
+        # repo-default .so would, e.g., run an ASan campaign against the
+        # NON-sanitized library and report clean.
+        lib = ctypes.CDLL(override)  # raises OSError with the dlopen detail
+        _configure(lib)
+        _lib = lib
+        return _lib
     for candidate in _LIB_CANDIDATES:
         if candidate.exists():
             try:

@@ -74,59 +74,146 @@ class ProcessPlotPool:
     tap), so `submit` blocks once `max_pending_jobs` are in flight.
     """
 
+    # a job whose future comes back BrokenExecutor this many times is
+    # recorded as that job's failure instead of retried again (2 tolerates
+    # one innocent-casualty race on a dying pool on top of the first hit)
+    _MAX_BROKEN_RETRIES = 2
+
     def __init__(self, num_workers: int, max_pending_jobs: int = 32) -> None:
-        self._pool = ProcessPoolExecutor(
-            max_workers=max(1, int(num_workers)),
-            mp_context=mp.get_context("spawn"),
-            initializer=_worker_init,
-        )
+        self._num_workers = max(1, int(num_workers))
+        self._pool = self._new_pool()
         self._max_pending = max(2, max_pending_jobs)
-        self._pending: List[Tuple[Optional[str], str, Callable[[], None], Future]] = []
+        # (label, kind, job, future, broken_attempts) — reaped eagerly in
+        # submit() so completed jobs' closures (which pin figure inputs,
+        # tens of MB per tap) are released as the bundle progresses, not
+        # held until the final drain
+        self._pending: List[Tuple[Optional[str], str, Callable[[], None], Future, int]] = []
         self._errors: List[Tuple[Optional[str], BaseException]] = []
         # per-kind CHILD wall seconds (summed across workers, so totals can
         # exceed parent wall time when renders run concurrently)
         self._timer = KindTimer()
 
+    def _new_pool(self) -> ProcessPoolExecutor:
+        return ProcessPoolExecutor(
+            max_workers=self._num_workers,
+            mp_context=mp.get_context("spawn"),
+            initializer=_worker_init,
+        )
+
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
-        while sum(not f.done() for _, _, _, f in self._pending) >= self._max_pending:
+        self._reap(block=False)
+        while sum(not f.done() for _, _, _, f, _ in self._pending) >= self._max_pending:
             wait(
-                [f for _, _, _, f in self._pending if not f.done()],
+                [f for _, _, _, f, _ in self._pending if not f.done()],
                 return_when=FIRST_COMPLETED,
             )
+            self._reap(block=False)
         try:
             future = self._pool.submit(_run_timed, job)
-        except BaseException:  # noqa: BLE001 — pool broken; render inline below
-            self._run_inline(job, label)
+        except BaseException as exc:  # noqa: BLE001 — pool broken; heal below
+            self._retry_broken(label, _job_kind(job), job, 0, exc)
             return
-        self._pending.append((label, _job_kind(job), job, future))
+        self._pending.append((label, _job_kind(job), job, future, 0))
 
     def _run_inline(self, job: Callable[[], None], label: Optional[str]) -> None:
-        """Degraded mode: render in THIS process. Used when the pool has
-        broken (e.g. the OOM killer took a spawn worker mid-bundle) — the
-        figures must still be written, just without parallelism. Safe:
-        matplotlib is only ever touched from the caller's thread on this
-        path (there is no thread worker in the pool flavor)."""
+        """Last resort: render in THIS process, used only when a fresh pool
+        cannot even be spawned (an environment failure, not the job's
+        fault) — the figures must still be written, just without
+        parallelism. Safe: matplotlib is only ever touched from the
+        caller's thread on this path (there is no thread worker in the
+        pool flavor)."""
         seconds, err = _run_timed(job)
         self._timer.add(_job_kind(job), seconds)
         if err is not None:
             self._errors.append((label, err))
 
-    def _collect(self) -> None:
-        pending, self._pending = self._pending, []
-        for label, kind, job, future in pending:
-            exc = future.exception()  # waits for completion; pool-level only
-            if exc is not None:
-                if isinstance(exc, BrokenExecutor):
-                    # the job never ran (worker killed / pool broken):
-                    # retry inline so the tap keeps its figures
+    def _rebuild_pool(self) -> bool:
+        """Replace a broken executor with a fresh one; False if spawning
+        itself fails."""
+        try:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        except BaseException:  # noqa: BLE001 — already-broken pool
+            pass
+        try:
+            self._pool = self._new_pool()
+            return True
+        except BaseException:  # noqa: BLE001
+            return False
+
+    def _retry_broken(
+        self,
+        label: Optional[str],
+        kind: str,
+        job: Callable[[], None],
+        attempts: int,
+        exc: BaseException,
+    ) -> None:
+        """A broken pool fails EVERY pending future, including the job that
+        was executing when the worker died (e.g. the OOM killer took it).
+        Innocent casualties are resubmitted to a healed pool and run to
+        completion one at a time, so a genuine pool-killer can only take a
+        fresh worker down alone; a job that keeps breaking the pool is
+        recorded as that job's failure rather than re-run inline in the
+        parent — which holds the device client and every pinned figure
+        input and must survive the bundle."""
+        if attempts >= self._MAX_BROKEN_RETRIES:
+            err: BaseException = RuntimeError(
+                f"render job {label!r} repeatedly broke the process pool "
+                "(worker killed, e.g. by the OOM killer); recorded as a "
+                "failure instead of retried in the parent process"
+            )
+            err.__cause__ = exc
+            self._errors.append((label, err))
+            return
+        for _ in range(2):
+            try:
+                future = self._pool.submit(_run_timed, job)
+            except BaseException:  # noqa: BLE001 — pool (still) broken
+                if not self._rebuild_pool():
                     self._run_inline(job, label)
-                else:
-                    self._errors.append((label, exc))
+                    return
                 continue
-            seconds, err = future.result()
-            self._timer.add(kind, seconds)
-            if err is not None:
-                self._errors.append((label, err))
+            # sequential on purpose: wait this one out before touching the
+            # pool again, isolating repeat offenders to their own worker
+            self._finish(label, kind, job, future, attempts + 1)
+            return
+        # two submit attempts failed even after a rebuild
+        self._run_inline(job, label)
+
+    def _finish(
+        self,
+        label: Optional[str],
+        kind: str,
+        job: Callable[[], None],
+        future: Future,
+        attempts: int,
+    ) -> None:
+        exc = future.exception()  # waits for completion; pool-level only
+        if exc is not None:
+            if isinstance(exc, BrokenExecutor):
+                self._retry_broken(label, kind, job, attempts, exc)
+            else:
+                self._errors.append((label, exc))
+            return
+        seconds, err = future.result()
+        self._timer.add(kind, seconds)
+        if err is not None:
+            self._errors.append((label, err))
+
+    def _reap(self, block: bool) -> None:
+        """Process finished futures (all of them when `block`), releasing
+        their job closures; broken-pool casualties are healed in-place."""
+        pending, self._pending = self._pending, []
+        for item in pending:
+            label, kind, job, future, attempts = item
+            if not block and not future.done():
+                self._pending.append(item)
+                continue
+            self._finish(label, kind, job, future, attempts)
+
+    def _collect(self) -> None:
+        while self._pending:
+            self._reap(block=True)
 
     def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
         """{render_fn_name: (total_child_seconds, jobs, first_job_seconds)} — call after drain()."""

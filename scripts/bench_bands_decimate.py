@@ -3,7 +3,7 @@
 Times the engine's rt60-bands block with and without spectrum-crop
 decimation (EngineConfig.bands_decimate) on the production chunk shape —
 (16, 2, 2^20) samples, three-band and third-octave modes. The decimated
-path inverse-transforms each band at N/k (Low 64x, Mid 8x shorter at the
+path inverse-transforms each band at N/k (Low 32x, Mid 4x shorter at the
 default edges) and runs its EDC + fits on the same smaller planes; see
 ops/fftmask.band_decimation_factors for the exactness argument and
 tests/test_bands_decimate.py for the parity bounds.
@@ -30,7 +30,7 @@ from audio_analysis_tpu.utils.platform import apply_platform_override  # noqa: E
 apply_platform_override()  # AA_PLATFORM=cpu for the --small smoke run
 
 from audio_analysis_tpu.engine import EngineConfig  # noqa: E402
-from audio_analysis_tpu.engine.batch import analyze_batch, band_names  # noqa: E402
+from audio_analysis_tpu.engine.batch import analyze_batch  # noqa: E402
 from audio_analysis_tpu.ops import fftmask  # noqa: E402
 
 CHUNK, C, N = 16, 2, 1 << 20
@@ -96,10 +96,14 @@ def main():
         # marginal bands produce garbage fits whose crossings flip under
         # ANY perturbation)
         finite = base_ok & dec_ok & (base_rt > 0.1 * RT60) & (base_rt < 3.0 * RT60)
-        rel = np.max(np.abs(dec_rt[finite] - base_rt[finite]) / np.maximum(base_rt[finite], 1e-6))
-        print(
-            f"  speedup {base_t / dec_t:.2f}x   max T30 rel diff (conditioned fits) {rel:.2e}"
-        )
+        if finite.any():
+            rel = np.max(
+                np.abs(dec_rt[finite] - base_rt[finite]) / np.maximum(base_rt[finite], 1e-6)
+            )
+            rel_text = f"{rel:.2e}"
+        else:  # every fit failed the conditioning filter (can happen --small)
+            rel_text = "n/a (no conditioned fits)"
+        print(f"  speedup {base_t / dec_t:.2f}x   max T30 rel diff (conditioned fits) {rel_text}")
 
 
 if __name__ == "__main__":

@@ -244,6 +244,36 @@ def test_native_pcm24_decode(tmp_path):
     np.testing.assert_allclose(decoded, values, atol=2e-7)
 
 
+def test_audioio_lib_override_fails_loudly():
+    """An explicit AA_AUDIOIO_LIB that cannot be loaded must raise, not
+    silently fall back to the repo-default library (a sanitizer campaign
+    pointed at a stale path would otherwise test the wrong .so)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, AA_AUDIOIO_LIB="/nonexistent/libaudioio.so")
+    src = (
+        "from audio_analysis_tpu.io import native\n"
+        "try:\n"
+        "    native.available()\n"
+        "except OSError as e:\n"
+        "    print('raised ok:', e)\n"
+        "else:\n"
+        "    raise SystemExit('override silently ignored')"
+    )
+    run = subprocess.run(
+        [sys.executable, "-c", src],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert run.returncode == 0, run.stderr[-500:]
+    assert "raised ok" in run.stdout
+
+
 def test_platform_override_pins_jax_platforms():
     """AA_PLATFORM=cpu must pin jax_platforms in a fresh interpreter even
     though the axon startup hook re-pins "axon,cpu" after env processing

@@ -138,8 +138,8 @@ def test_process_pool_matches_thread_worker(tmp_path):
 
 
 def _die_if_pool_worker():
-    """Kill the hosting process ONLY when it is a spawn pool worker —
-    the inline retry of this same job in the parent is a no-op."""
+    """Kill the hosting process whenever it is a spawn pool worker — a
+    stand-in for a render job the OOM killer keeps taking down."""
     import multiprocessing as _mp
     import os as _os
 
@@ -151,9 +151,11 @@ def _touch_marker(path):
     Path(path).write_text("ran")
 
 
-def test_broken_pool_falls_back_to_inline_rendering(tmp_path):
+def test_broken_pool_heals_and_isolates_the_killer(tmp_path):
     """A killed pool worker (OOM killer took it mid-bundle) must not lose
-    figure jobs: broken-executor futures retry inline in the parent."""
+    innocent figure jobs (they re-run on a healed pool) and must NOT re-run
+    the pool-breaking job inline in the parent — it is recorded as that
+    job's failure after bounded retries."""
     from functools import partial
 
     from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
@@ -165,7 +167,30 @@ def test_broken_pool_falls_back_to_inline_rendering(tmp_path):
     failures = pool.drain_collect()
     pool.close()
 
-    # the job queued behind the dead worker still ran (inline fallback)
+    # the innocent job queued behind the dead worker still ran (healed pool)
     assert marker.read_text() == "ran"
-    # and the killer job's inline retry was a clean no-op
-    assert failures == []
+    # the repeat offender is a labeled failure, not an inline parent run
+    assert [label for label, _ in failures] == ["killer"]
+    assert "broke the process pool" in str(failures[0][1])
+
+
+def test_pool_releases_completed_jobs_before_drain(tmp_path):
+    """Completed futures are reaped (and their closures released) by later
+    submit() calls — figure inputs must not accumulate until the drain."""
+    from functools import partial
+
+    from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
+
+    pool = ProcessPlotPool(1)
+    try:
+        first = tmp_path / "a.txt"
+        pool.submit(partial(_ok, str(first)), label="a")
+        # wait out the first job, then reap via a second submit
+        for _, _, _, future, _ in list(pool._pending):
+            future.exception()
+        pool.submit(partial(_ok, str(tmp_path / "b.txt")), label="b")
+        assert all(label != "a" for label, _, _, _, _ in pool._pending)
+        assert pool.drain_collect() == []
+    finally:
+        pool.close()
+    assert first.read_text() == "ok"
