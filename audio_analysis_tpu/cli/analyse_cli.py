@@ -183,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
                    help="Render figures on a process pool of this many workers "
                         "(multi-core hosts); 0 = single render thread.")
+    p.add_argument("--tap-shard", dest="tap_shard", type=str, default=None,
+                   metavar="I/N",
+                   help="Render only taps with index %% N == I (0-based) — fan the "
+                        "plot bundle over N independent processes/machines sharing "
+                        "the filesystem, then merge the index with one --resume run.")
     p.add_argument("--multi-host", dest="multi_host", action="store_true",
                    help="Multi-host engine fast path (text reports): every process "
                         "analyses the taps its devices own over a shared filesystem; "
@@ -739,6 +744,13 @@ def main(argv=None) -> None:
         return
 
     if cmd == "bundle":
+        if getattr(args, "tap_shard", None) and (
+            bool(getattr(args, "no_plots", False)) or bool(getattr(args, "multi_host", False))
+        ):
+            raise SystemExit(
+                "--tap-shard shards the PLOT bundle; it cannot combine with "
+                "--no-plots or --multi-host (the engine paths batch taps themselves)"
+            )
         if bool(getattr(args, "multi_host", False)):
             from dataclasses import replace as _replace
 
@@ -803,13 +815,19 @@ def main(argv=None) -> None:
             settings=BundleRunSettings(
                 reports_subdir=str(args.reports_subdir),
                 resume=bool(args.resume),
+                tap_shard=getattr(args, "tap_shard", None),
                 report_settings=ReportSettings(
                     common_use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
                     plot_processes=int(getattr(args, "plot_processes", 0)),
                 ),
             ),
         )
-        print(f"Wrote bundle report index: {index}")
+        if getattr(args, "tap_shard", None):
+            print(f"Wrote bundle shard summary: {index}")
+            print("Merge after all shards finish: analyse.cli bundle --input "
+                  f"{args.bundle_root} --resume")
+        else:
+            print(f"Wrote bundle report index: {index}")
         return
 
     raise ValueError(f"Unknown command: {cmd}")

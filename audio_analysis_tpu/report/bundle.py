@@ -9,7 +9,10 @@ Beyond the reference:
   (the reference aborts, bundle.py:56-68); failures are listed in the index;
 - optional resume: skip taps whose report already exists;
 - the batched fast path (engine.bundle) computes all tap metrics in one
-  fused device program before plotting.
+  fused device program before plotting;
+- tap sharding (`tap_shard="i/n"`): fan the host-bound plot rendering over
+  independent processes/machines on a shared filesystem, then merge with
+  one `--resume` pass.
 """
 
 from __future__ import annotations
@@ -30,6 +33,24 @@ class BundleRunSettings:
     report_settings: Optional[ReportSettings] = None
     resume: bool = False  # skip taps with an existing report
     continue_on_error: bool = True
+    # "i/n" (0-based): render only taps with index % n == i, for fanning a
+    # plot bundle over independent processes/machines on a shared
+    # filesystem (rendering is host-bound, ~seconds per tap on one core).
+    # Shard runs write per-tap reports + a small shard summary but NOT the
+    # bundle index; after every shard finishes, one `--resume` run (no
+    # shard) finds each tap complete and writes the full index from cache.
+    tap_shard: Optional[str] = None
+
+
+def _parse_tap_shard(spec: str) -> tuple:
+    try:
+        index_text, count_text = spec.split("/", 1)
+        shard_index, shard_count = int(index_text), int(count_text)
+    except ValueError:
+        raise ValueError(f"tap_shard must look like 'i/n' (0-based), got {spec!r}") from None
+    if shard_count < 1 or not (0 <= shard_index < shard_count):
+        raise ValueError(f"tap_shard {spec!r} needs 0 <= i < n")
+    return shard_index, shard_count
 
 
 import re as _re
@@ -70,6 +91,11 @@ def run_bundle_report(
     meta = json.loads(meta_path.read_text())
     tap_names: List[str] = list(meta.get("taps", []))
     taps_dir = bundle_root / "taps"
+
+    shard = _parse_tap_shard(settings.tap_shard) if settings.tap_shard else None
+    if shard is not None:
+        shard_index, shard_count = shard
+        tap_names = [t for j, t in enumerate(tap_names) if j % shard_count == shard_index]
 
     reports_root = bundle_root / settings.reports_subdir
     reports_root.mkdir(parents=True, exist_ok=True)
@@ -130,8 +156,14 @@ def run_bundle_report(
 
         # always written, INCLUDING error exits (an empty {} for a
         # fully-cached resume or a no-figure run), so a stale previous
-        # run's costs can't masquerade as this run's
-        (reports_root / "plot_timings.json").write_text(
+        # run's costs can't masquerade as this run's; concurrent shards
+        # each write their own file instead of clobbering one
+        timings_name = (
+            "plot_timings.json"
+            if shard is None
+            else f"plot_timings_shard{shard[0]}of{shard[1]}.json"
+        )
+        (reports_root / timings_name).write_text(
             json.dumps(
                 {
                     kind: {
@@ -160,6 +192,17 @@ def run_bundle_report(
                 f"- plot rendering{f' ({label})' if label else ''}: "
                 f"{type(exc).__name__}: {exc}"
             )
+
+    if shard is not None:
+        # a shard's tap list is incomplete by construction — write a small
+        # shard summary instead of the bundle index; the merge pass
+        # (`bundle --resume`, no shard) writes the real index from the
+        # completed per-tap reports
+        shard_path = reports_root / f"bundle_shard_{shard[0]}of{shard[1]}.md"
+        shard_lines = [f"# IR Bundle Report — shard {shard[0]}/{shard[1]}\n"]
+        shard_lines += index_lines[5:]  # the per-tap lines (+ failures)
+        shard_path.write_text("\n".join(shard_lines) + "\n")
+        return shard_path
 
     index_path = reports_root / "bundle_report.md"
     index_path.write_text("\n".join(index_lines) + "\n")

@@ -370,7 +370,24 @@ def run_report_from_wav_file(
                     )
                 )
                 md.append(_md_section("Group delay"))
-                md.append(_md_image(output_basename, "_groupdelay", "Group delay vs frequency"))
+                # the reference embeds "_groupdelay.png" here (report.py:319)
+                # but its renderer only ever writes per-channel files
+                # (group_delay.py:201 `_groupdelay_<CH>.png`) — a broken
+                # image in every reference report. Embed the real files
+                # (divergence documented in MIGRATION.md).
+                md.append(
+                    _md_image(
+                        output_basename, f"_groupdelay_{left_name}", "Group delay vs frequency"
+                    )
+                )
+                if right_name:
+                    md.append(
+                        _md_image(
+                            output_basename,
+                            f"_groupdelay_{right_name}",
+                            "Group delay vs frequency (right)",
+                        )
+                    )
                 md.append(_md_codeblock(summarise_group_delay_results_text(gd_results)))
         if settings.run_spectrogram:
             with timer.block("spectrogram"):

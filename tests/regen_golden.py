@@ -6,6 +6,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+# honor AA_PLATFORM=cpu like the conftest does (the axon startup hook
+# re-pins jax_platforms, so a plain JAX_PLATFORMS env var is not enough —
+# and with the TPU pool down, default backend init hangs)
+from audio_analysis_tpu.utils.platform import apply_platform_override  # noqa: E402
+
+apply_platform_override()
+
 from tests.golden_utils import GOLDEN_DIR, SR, make_golden_ir  # noqa: E402
 
 

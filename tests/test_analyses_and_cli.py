@@ -211,6 +211,12 @@ def test_report_writes_full_artifact_set(ir_wav, tmp_path):
         assert section in md, section
     assert (base.parent / "verb_report.md").read_text() == md
 
+    # every image the markdown embeds must exist (the reference embeds a
+    # _groupdelay.png its renderer never writes — report.py:319 vs
+    # group_delay.py:201; also what --resume completeness checks)
+    for name in re.findall(r"!\[[^\]]*\]\(([^)]+)\)", md):
+        assert (base.parent / name).exists(), name
+
 
 def test_report_mono_mode(ir_wav, tmp_path):
     from audio_analysis_tpu.report import ReportSettings, run_report_from_wav_file
@@ -266,6 +272,52 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     # resume skips the completed tap
     index2 = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
     assert "(cached)" in index2.read_text()
+
+
+def test_bundle_tap_sharding_merges_via_resume(tmp_path):
+    """Shard runs render disjoint tap subsets (no index); a --resume merge
+    finds every tap complete and writes the full index from cache."""
+    from audio_analysis_tpu.report import BundleRunSettings, ReportSettings, run_bundle_report
+
+    n = 1 << 14
+    rng = np.random.default_rng(9)
+    t = np.arange(n) / SR
+    taps = {}
+    for i, rt60 in enumerate([0.2, 0.25, 0.3]):
+        x = np.zeros((n, 2), np.float32)
+        x[10:, :] = (
+            0.05 * rng.standard_normal((n - 10, 2)) * 10 ** (-3 * t[: n - 10, None] / rt60)
+        )
+        x[10, :] = 0.9
+        taps[f"tap{i}"] = x
+    root = write_bundle(tmp_path / "run", taps, SR)
+
+    fast = ReportSettings(
+        run_waterfall=False, run_modal_cloud=False, run_group_delay=False, run_spectrogram=False
+    )
+    shard0 = run_bundle_report(
+        root, BundleRunSettings(report_settings=fast, tap_shard="0/2")
+    )
+    assert shard0.name == "bundle_shard_0of2.md"
+    # shard 0 owns taps 0 and 2; no bundle index yet
+    assert (root / "reports" / "tap0" / "tap0_report.md").exists()
+    assert (root / "reports" / "tap2" / "tap2_report.md").exists()
+    assert not (root / "reports" / "tap1" / "tap1_report.md").exists()
+    assert not (root / "reports" / "bundle_report.md").exists()
+    assert (root / "reports" / "plot_timings_shard0of2.json").exists()
+
+    run_bundle_report(root, BundleRunSettings(report_settings=fast, tap_shard="1/2"))
+
+    # merge: every tap is cached; the full index is written
+    index = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
+    content = index.read_text()
+    for tap in taps:
+        assert f"- [{tap}](reports/{tap}/{tap}_report.md) (cached)" in content
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tap_shard"):
+        run_bundle_report(root, BundleRunSettings(report_settings=fast, tap_shard="2/2"))
 
 
 def test_cli_bundle_bands_decimate_wiring(tmp_path, monkeypatch, capsys):
