@@ -183,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
                    help="Render figures on a process pool of this many workers "
                         "(multi-core hosts); 0 = single render thread.")
+    p.add_argument("--compare", dest="compare_to", type=str, default=None, metavar="PREV",
+                   help="With --no-plots: diff this run's headline metrics against a "
+                        "previous run's bundle_metrics.json (file, reports dir, or bundle "
+                        "root — the CURRENT reports dir works: the previous file is read "
+                        "before being overwritten) and append a 'Changes vs previous' "
+                        "section to the index.")
+    p.add_argument("--compare-threshold", dest="compare_threshold", type=float, default=1.0,
+                   metavar="PCT", help="Relative change (%%) above which --compare flags "
+                        "a metric (default 1.0).")
     p.add_argument("--tap-shard", dest="tap_shard", type=str, default=None,
                    metavar="I/N",
                    help="Render only taps with index %% N == I (0-based) — fan the "
@@ -751,6 +760,11 @@ def main(argv=None) -> None:
                 "--tap-shard shards the PLOT bundle; it cannot combine with "
                 "--no-plots or --multi-host (the engine paths batch taps themselves)"
             )
+        if getattr(args, "compare_to", None) and not bool(getattr(args, "no_plots", False)):
+            raise SystemExit(
+                "--compare diffs engine metrics: it requires --no-plots "
+                "(the metrics source is the engine's bundle_metrics.json)"
+            )
         if bool(getattr(args, "multi_host", False)):
             from dataclasses import replace as _replace
 
@@ -800,6 +814,8 @@ def main(argv=None) -> None:
                 EngineBundleSettings(
                     reports_subdir=str(args.reports_subdir),
                     use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                    compare_to=getattr(args, "compare_to", None),
+                    compare_threshold_pct=float(getattr(args, "compare_threshold", 1.0)),
                     config=_replace(
                         EngineConfig(),
                         band_mode=str(getattr(args, "band_mode", "three")),

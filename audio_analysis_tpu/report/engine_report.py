@@ -44,6 +44,13 @@ class EngineBundleSettings:
     # rerun then skips decode AND the whole host->device upload. One bundle
     # slot (~0.25 GB for 64x2^20 stereo taps); single-device path only.
     cache_device_audio: bool = True
+    # Path to a previous run's bundle_metrics.json (or its reports dir /
+    # bundle root): appends a deterministic "Changes vs previous" section
+    # to the index flagging headline metrics that moved >= the threshold
+    # (report/compare.py) — the regression-detection step of the
+    # change->analyse->repeat loop.
+    compare_to: Optional[str] = None
+    compare_threshold_pct: float = 1.0
 
 
 
@@ -428,7 +435,19 @@ def run_bundle_report_engine(
         "metrics": {k: np.asarray(v).tolist() for k, v in out.items()},
     }
     phases["json_s"] = round(time.perf_counter() - start_json, 4)
+    # comparison reads the PREVIOUS run's file before this run's dump
+    # overwrites it, so comparing against the same reports dir in place
+    # ("what changed since my last run here?") works too
+    compare_section = None
+    if settings.compare_to:
+        from audio_analysis_tpu.report.compare import compare_section_for_index
+
+        compare_section = compare_section_for_index(
+            metrics_json, settings.compare_to, settings.compare_threshold_pct
+        )
     (reports_root / "bundle_metrics.json").write_text(json.dumps(metrics_json, indent=1))
+    if compare_section:
+        index_lines.append(compare_section)
 
     index_path = reports_root / "bundle_report.md"
     index_path.write_text("\n".join(index_lines) + "\n")

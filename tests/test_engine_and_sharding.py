@@ -135,6 +135,31 @@ def test_sharded_engine_matches_unsharded(tap_batch):
     assert int(sharded["bundle_valid_taps"]) == 8
 
 
+def test_sharded_engine_bands_decimate_matches_unsharded(tap_batch):
+    """The spectrum-crop decimated bands path must survive shard_map: the
+    per-band decimation groups are static per config, so each shard traces
+    the same grouped program."""
+    batch, lengths = tap_batch
+    mesh = make_mesh(num_devices=min(8, len(jax.devices("cpu"))), platform="cpu")
+    config = EngineConfig(
+        run_modal=False, run_stft=False, run_diffusion=False, bands_decimate=True
+    )
+
+    from audio_analysis_tpu.engine.batch import _band_masks
+    from audio_analysis_tpu.ops import fftmask
+
+    n = batch.shape[-1]
+    factors = fftmask.band_decimation_factors(_band_masks(config, n), n)
+    assert factors != (1,) * len(factors), "fixture too short to exercise decimation"
+
+    sharded = analyze_batch_sharded(mesh, batch, lengths, config)
+    local = analyze_bundle(batch, lengths, config, chunk_taps=8)
+    np.testing.assert_allclose(
+        np.asarray(sharded["band_t30_rt60"]), local["band_t30_rt60"], rtol=1e-3
+    )
+    assert np.asarray(sharded["band_t30_ok"]).any()
+
+
 def test_sharded_engine_pads_odd_batches(tap_batch):
     batch, lengths = tap_batch
     mesh = make_mesh(num_devices=4, platform="cpu")
