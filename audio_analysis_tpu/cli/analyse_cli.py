@@ -207,6 +207,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", dest="num_processes", type=int, default=None)
     p.add_argument("--process-id", dest="process_id", type=int, default=None)
 
+    # --- watch ---
+    p = sub.add_parser(
+        "watch",
+        help="Watch a recorder output dir: analyse each new complete bundle "
+             "(engine fast path) and diff it against the previous run.",
+    )
+    p.add_argument("--input", dest="watch_root", type=str, required=True,
+                   help="Directory the recorder writes timestamped bundles into "
+                        "(or a single bundle dir, re-analysed when re-recorded).")
+    p.add_argument("--interval", dest="poll_seconds", type=float, default=2.0,
+                   help="Poll interval in seconds (default 2).")
+    p.add_argument("--reports-subdir", dest="reports_subdir", type=str, default="reports")
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--bands", dest="band_mode", type=str, default="three",
+                   choices=["three", "octave", "third"])
+    p.add_argument("--no-compare", dest="no_compare", action="store_true",
+                   help="Skip the automatic diff against the previously analysed bundle.")
+    p.add_argument("--compare-threshold", dest="compare_threshold", type=float, default=1.0,
+                   metavar="PCT")
+    p.add_argument("--max-bundles", dest="max_bundles", type=int, default=None,
+                   help="Exit after analysing this many bundles (default: run forever).")
+
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
     p.add_argument("--recorded_wav_file_path", type=str, required=True)
@@ -750,6 +772,29 @@ def main(argv=None) -> None:
             )
         print(results.summary_markdown)
         print(f"Wrote: {results.summary_markdown_path}")
+        return
+
+    if cmd == "watch":
+        from dataclasses import replace as _replace
+
+        from audio_analysis_tpu.engine import EngineConfig
+        from audio_analysis_tpu.report import EngineBundleSettings, WatchSettings, watch_bundle_runs
+
+        watch_settings = WatchSettings(
+            poll_seconds=float(args.poll_seconds),
+            engine=EngineBundleSettings(
+                reports_subdir=str(args.reports_subdir),
+                use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
+                config=_replace(EngineConfig(), band_mode=str(args.band_mode)),
+            ),
+            compare_to_previous=not bool(args.no_compare),
+            compare_threshold_pct=float(args.compare_threshold),
+            max_bundles=args.max_bundles,
+        )
+        try:
+            watch_bundle_runs(str(args.watch_root), watch_settings)
+        except KeyboardInterrupt:
+            print("\nwatch stopped")
         return
 
     if cmd == "bundle":

@@ -13,3 +13,7 @@ from audio_analysis_tpu.report.engine_report import (  # noqa: F401
     EngineBundleSettings,
     run_bundle_report_engine,
 )
+from audio_analysis_tpu.report.watch import (  # noqa: F401
+    WatchSettings,
+    watch_bundle_runs,
+)

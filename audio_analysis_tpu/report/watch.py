@@ -1,0 +1,162 @@
+"""
+Continuous bundle watching: the change -> render -> analyse -> repeat loop
+(reference README.md:7) as a resident service instead of a manual step.
+
+`watch_bundle_runs` polls a recorder output directory (the C++
+AnalysisRecorder writes `<root>/<timestamp>/{taps/*.wav, meta.json}`,
+recorder.hpp write_bundle; meta.json is written LAST, so its presence
+marks a complete bundle — both producers in this repo share that order).
+Every new complete bundle is analysed with the fused engine
+(run_bundle_report_engine) and automatically compared against the
+PREVIOUSLY analysed bundle's metrics, so each DSP iteration prints what
+it changed. Watch state (which bundles were analysed, the last metrics
+path) persists in `<root>/.aa_watch_state.json` across restarts.
+
+A directory whose root itself is a bundle (meta.json at top level) is
+watched for in-place re-recordings (mtime changes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+from audio_analysis_tpu.report.engine_report import (
+    EngineBundleSettings,
+    run_bundle_report_engine,
+)
+
+_STATE_NAME = ".aa_watch_state.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class WatchSettings:
+    poll_seconds: float = 2.0
+    engine: EngineBundleSettings = EngineBundleSettings()
+    # auto-diff each bundle against the previously analysed one's metrics
+    compare_to_previous: bool = True
+    compare_threshold_pct: float = 1.0
+    # stop after analysing this many bundles (None = run until interrupted)
+    max_bundles: Optional[int] = None
+    # give a bundle this long after meta.json appears for late tap flushes
+    settle_seconds: float = 0.25
+
+
+def _bundle_signature(bundle: Path, meta: dict) -> str:
+    """Identity of a bundle's CONTENT: meta mtime + per-tap (size, mtime).
+    A re-recorded bundle (same dir, new audio) gets a new signature."""
+    parts = [str(int(bundle.joinpath("meta.json").stat().st_mtime_ns))]
+    for tap in meta.get("taps", []):
+        p = bundle / "taps" / f"{tap}.wav"
+        st = p.stat()
+        parts.append(f"{tap}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _complete_bundle_meta(bundle: Path) -> Optional[dict]:
+    """meta.json parsed iff the bundle looks complete (meta is written last;
+    still verify every listed tap exists)."""
+    meta_path = bundle / "meta.json"
+    if not meta_path.is_file():
+        return None
+    try:
+        meta = json.loads(meta_path.read_text())
+    except (OSError, ValueError):
+        return None  # mid-write or corrupt; retry next poll
+    taps = meta.get("taps", [])
+    if not taps:
+        return None
+    if not all((bundle / "taps" / f"{t}.wav").is_file() for t in taps):
+        return None
+    return meta
+
+
+def _discover_bundles(root: Path) -> List[Path]:
+    if (root / "meta.json").is_file():
+        return [root]
+    return sorted(p for p in root.iterdir() if p.is_dir() and (p / "meta.json").is_file())
+
+
+def _load_state(root: Path) -> dict:
+    try:
+        return json.loads((root / _STATE_NAME).read_text())
+    except (OSError, ValueError):
+        return {"analyzed": {}, "last_metrics": None}
+
+
+def _save_state(root: Path, state: dict) -> None:
+    (root / _STATE_NAME).write_text(json.dumps(state, indent=1) + "\n")
+
+
+def watch_bundle_runs(
+    watch_root: str | Path,
+    settings: Optional[WatchSettings] = None,
+    log: Callable[[str], None] = print,
+    stop: Optional[Callable[[], bool]] = None,
+) -> List[Path]:
+    """Poll `watch_root` for complete bundles and analyse each new (or
+    changed) one with the fused engine; returns the index paths written.
+    `stop()` is checked every poll for cooperative shutdown (tests, or a
+    supervisor); `settings.max_bundles` bounds the run.
+    """
+    if settings is None:
+        settings = WatchSettings()
+    root = Path(watch_root)
+    if not root.is_dir():
+        raise ValueError(f"watch root {root} is not a directory")
+
+    state = _load_state(root)
+    analyzed: Dict[str, str] = dict(state.get("analyzed", {}))
+    last_metrics: Optional[str] = state.get("last_metrics")
+    written: List[Path] = []
+
+    log(f"watching {root} (poll {settings.poll_seconds:g}s; Ctrl-C to stop)")
+    while True:
+        if stop is not None and stop():
+            break
+        progressed = False
+        for bundle in _discover_bundles(root):
+            meta = _complete_bundle_meta(bundle)
+            if meta is None:
+                continue
+            signature = _bundle_signature(bundle, meta)
+            if analyzed.get(str(bundle)) == signature:
+                continue
+            time.sleep(settings.settle_seconds)
+            engine = settings.engine
+            if settings.compare_to_previous and last_metrics:
+                engine = dataclasses.replace(
+                    engine,
+                    compare_to=last_metrics,
+                    compare_threshold_pct=settings.compare_threshold_pct,
+                )
+            try:
+                index = run_bundle_report_engine(bundle, engine)
+            except Exception as exc:  # noqa: BLE001 — keep watching
+                log(f"FAILED {bundle.name}: {type(exc).__name__}: {exc}")
+                analyzed[str(bundle)] = signature  # don't retry a broken bundle hot
+                _save_state(root, {"analyzed": analyzed, "last_metrics": last_metrics})
+                continue
+            written.append(index)
+            analyzed[str(bundle)] = signature
+            last_metrics = str(index.parent / "bundle_metrics.json")
+            _save_state(root, {"analyzed": analyzed, "last_metrics": last_metrics})
+
+            changes = [
+                line
+                for line in index.read_text().splitlines()
+                if line.startswith("- ") and " -> " in line
+            ]
+            suffix = f"  ({len(changes)} metric changes vs previous)" if changes else ""
+            log(f"analysed {bundle.name}: {len(meta.get('taps', []))} taps -> {index}{suffix}")
+            progressed = True
+            if settings.max_bundles is not None and len(written) >= settings.max_bundles:
+                return written
+        if not progressed:
+            if stop is not None and stop():
+                break
+            time.sleep(settings.poll_seconds)
+    return written

@@ -1,0 +1,106 @@
+"""Continuous bundle watching (report/watch.py + the watch CLI)."""
+
+import numpy as np
+
+from audio_analysis_tpu.io import write_bundle
+from audio_analysis_tpu.report.watch import WatchSettings, watch_bundle_runs
+
+SR = 48_000
+N = 1 << 14
+
+
+def _tap(rt60, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(N) / SR
+    x = np.zeros((N, 2), np.float32)
+    x[10:, :] = 0.05 * rng.standard_normal((N - 10, 2)) * 10 ** (-3 * t[: N - 10, None] / rt60)
+    x[10, :] = 0.9
+    return x
+
+
+def _fast_settings(**kw):
+    return WatchSettings(poll_seconds=0.05, settle_seconds=0.0, **kw)
+
+
+def test_watch_analyses_new_bundles_and_diffs_vs_previous(tmp_path):
+    logs = []
+    root = tmp_path / "runs"
+    root.mkdir()
+    write_bundle(root / "20260101_000000", {"tap": _tap(0.25)}, SR)
+
+    written = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=logs.append)
+    assert len(written) == 1
+    assert written[0].exists()
+    assert (root / ".aa_watch_state.json").exists()
+    assert any("analysed 20260101_000000" in line for line in logs)
+
+    # second recorder run with a changed decay: analysed AND diffed vs run 1
+    write_bundle(root / "20260101_000100", {"tap": _tap(0.35)}, SR)
+    written2 = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=logs.append)
+    assert len(written2) == 1
+    content = written2[0].read_text()
+    assert "## Changes vs" in content
+    assert "t30_rt60" in content
+    assert any("metric changes vs previous" in line for line in logs)
+
+    # nothing new: the stop callback bounds the idle loop
+    polls = {"n": 0}
+
+    def stop():
+        polls["n"] += 1
+        return polls["n"] > 2
+
+    assert watch_bundle_runs(root, _fast_settings(), log=logs.append, stop=stop) == []
+
+
+def test_watch_reanalyses_in_place_rerecordings_and_skips_incomplete(tmp_path):
+    root = tmp_path / "runs"
+    root.mkdir()
+    bundle = root / "20260101_000000"
+    write_bundle(bundle, {"tap": _tap(0.25)}, SR)
+
+    # an incomplete sibling (no meta.json yet) is ignored, not crashed on
+    half = root / "20260101_000200"
+    (half / "taps").mkdir(parents=True)
+    (half / "taps" / "tap.wav").write_bytes(b"partial")
+
+    first = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=lambda s: None)
+    assert len(first) == 1
+
+    # re-record the SAME bundle dir: new content signature => re-analysed
+    write_bundle(bundle, {"tap": _tap(0.4)}, SR)
+    second = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=lambda s: None)
+    assert len(second) == 1
+    assert "## Changes vs" in second[0].read_text()
+
+
+def test_watch_cli_wiring(tmp_path, monkeypatch, capsys):
+    """The watch subcommand builds WatchSettings from flags."""
+    import audio_analysis_tpu.report as report_pkg
+    from audio_analysis_tpu.cli import analyse_cli
+
+    captured = {}
+
+    def fake_watch(root, settings):
+        captured["root"] = root
+        captured["settings"] = settings
+        return []
+
+    monkeypatch.setattr(report_pkg, "watch_bundle_runs", fake_watch)
+    analyse_cli.main(
+        [
+            "watch",
+            "--input", str(tmp_path),
+            "--interval", "0.5",
+            "--bands", "octave",
+            "--no-compare",
+            "--max-bundles", "3",
+        ]
+    )
+    assert captured["root"] == str(tmp_path)
+    s = captured["settings"]
+    assert s.poll_seconds == 0.5
+    assert s.engine.config.band_mode == "octave"
+    assert s.compare_to_previous is False
+    assert s.max_bundles == 3
+    capsys.readouterr()
