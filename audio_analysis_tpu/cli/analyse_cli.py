@@ -192,6 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compare-threshold", dest="compare_threshold", type=float, default=1.0,
                    metavar="PCT", help="Relative change (%%) above which --compare flags "
                         "a metric (default 1.0).")
+    p.add_argument("--fail-on-change", dest="fail_on_change", action="store_true",
+                   help="With --compare: exit 3 when any change is flagged — a CI "
+                        "regression gate for DSP changes.")
     p.add_argument("--tap-shard", dest="tap_shard", type=str, default=None,
                    metavar="I/N",
                    help="Render only taps with index %% N == I (0-based) — fan the "
@@ -869,6 +872,12 @@ def main(argv=None) -> None:
                 ),
             )
             print(f"Wrote bundle report index: {index}")
+            if getattr(args, "compare_to", None) and bool(getattr(args, "fail_on_change", False)):
+                from audio_analysis_tpu.report.compare import index_has_flagged_changes
+
+                if index_has_flagged_changes(index):
+                    print("Changes flagged vs previous run (see the index) — exiting 3.")
+                    raise SystemExit(3)
             return
 
         index = run_bundle_report(

@@ -178,6 +178,20 @@ def format_bundle_comparison(
     return "\n".join(lines) + "\n"
 
 
+def index_has_flagged_changes(index_path: str | Path) -> bool:
+    """True iff the index's 'Changes vs' section flags anything (changed
+    metrics, ok flips, added/removed taps, or an unavailable comparison).
+    Used by `bundle --compare --fail-on-change` as a CI regression gate."""
+    in_section = False
+    for line in Path(index_path).read_text().splitlines():
+        if line.startswith("## "):
+            in_section = line.startswith("## Changes vs")
+            continue
+        if in_section and (line.startswith("- ") or line.startswith("Comparison unavailable")):
+            return True
+    return False
+
+
 def compare_section_for_index(
     current_metrics: dict,
     previous_path: str | Path,

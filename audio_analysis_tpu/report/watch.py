@@ -91,6 +91,32 @@ def _save_state(root: Path, state: dict) -> None:
     (root / _STATE_NAME).write_text(json.dumps(state, indent=1) + "\n")
 
 
+def _append_event_log(
+    root: Path, bundle: Path, meta: dict, index: Path, flagged_changes: int
+) -> None:
+    """One JSON line per analysed bundle in <root>/watch_log.jsonl —
+    service observability (what ran, how long, what moved) without parsing
+    markdown. Best-effort: a log write must never kill the watcher."""
+    event = {
+        "ts": time.time(),
+        "bundle": bundle.name,
+        "taps": len(meta.get("taps", [])),
+        "index": str(index),
+        "flagged_changes": flagged_changes,
+    }
+    try:
+        timings = json.loads((index.parent / "bundle_metrics.json").read_text())
+        event["load_seconds"] = timings.get("load_seconds")
+        event["compute_seconds"] = timings.get("compute_seconds")
+    except (OSError, ValueError):
+        pass
+    try:
+        with (root / "watch_log.jsonl").open("a") as fh:
+            fh.write(json.dumps(event) + "\n")
+    except OSError:
+        pass
+
+
 def watch_bundle_runs(
     watch_root: str | Path,
     settings: Optional[WatchSettings] = None,
@@ -152,6 +178,7 @@ def watch_bundle_runs(
             ]
             suffix = f"  ({len(changes)} metric changes vs previous)" if changes else ""
             log(f"analysed {bundle.name}: {len(meta.get('taps', []))} taps -> {index}{suffix}")
+            _append_event_log(root, bundle, meta, index, len(changes))
             progressed = True
             if settings.max_bundles is not None and len(written) >= settings.max_bundles:
                 return written

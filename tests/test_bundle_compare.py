@@ -104,3 +104,40 @@ def test_engine_bundle_compare_end_to_end(tmp_path):
 def test_load_bundle_metrics_resolution(tmp_path):
     with pytest.raises(FileNotFoundError, match="bundle_metrics.json"):
         load_bundle_metrics(tmp_path)
+
+
+def test_cli_fail_on_change_gate(tmp_path):
+    """--compare --fail-on-change exits 3 when metrics moved, 0 otherwise —
+    the CI regression gate."""
+    from audio_analysis_tpu.cli import analyse_cli
+
+    n = 1 << 14
+    rng = np.random.default_rng(12)
+    t = np.arange(n) / SR
+
+    def tap(rt60):
+        x = np.zeros((n, 2), np.float32)
+        x[10:, :] = (
+            0.05 * rng.standard_normal((n - 10, 2)) * 10 ** (-3 * t[: n - 10, None] / rt60)
+        )
+        x[10, :] = 0.9
+        return x
+
+    root = write_bundle(tmp_path / "run", {"tap": tap(0.25)}, SR)
+    analyse_cli.main(["bundle", "--input", str(root), "--no-plots"])
+
+    # unchanged bundle: compare in place, no flagged changes, exit 0
+    analyse_cli.main(
+        ["bundle", "--input", str(root), "--no-plots",
+         "--compare", str(root / "reports"), "--fail-on-change"]
+    )
+
+    # regression: exit code 3
+    write_bundle(tmp_path / "run", {"tap": tap(0.4)}, SR)
+    with pytest.raises(SystemExit) as exc_info:
+        analyse_cli.main(
+            ["bundle", "--input", str(root), "--no-plots",
+             "--compare", str(root / "reports"), "--fail-on-change",
+             "--compare-threshold", "5"]
+        )
+    assert exc_info.value.code == 3

@@ -43,6 +43,14 @@ def test_watch_analyses_new_bundles_and_diffs_vs_previous(tmp_path):
     assert "t30_rt60" in content
     assert any("metric changes vs previous" in line for line in logs)
 
+    # one observability row per analysed bundle
+    import json
+
+    rows = [json.loads(l) for l in (root / "watch_log.jsonl").read_text().splitlines()]
+    assert [r["bundle"] for r in rows] == ["20260101_000000", "20260101_000100"]
+    assert rows[0]["flagged_changes"] == 0 and rows[1]["flagged_changes"] > 0
+    assert rows[1]["compute_seconds"] > 0
+
     # nothing new: the stop callback bounds the idle loop
     polls = {"n": 0}
 
