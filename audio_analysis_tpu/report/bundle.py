@@ -125,9 +125,7 @@ def run_bundle_report(
             report_md = out_dir / f"{tap}_report.md"
 
             if settings.resume and _report_complete(report_md):
-                index_lines.append(
-                    f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name}) (cached)"
-                )
+                index_lines.append(f"- [{tap}]({tap}/{report_md.name}) (cached)")
                 continue
 
             try:
@@ -137,10 +135,13 @@ def run_bundle_report(
                     settings=settings.report_settings,
                     plot_worker=plot_worker,
                 )
-                # NOTE: mirrors the reference's link format verbatim
-                # (bundle.py:70) — including its quirk of prefixing
-                # reports_subdir although the index already lives inside it
-                index_lines.append(f"- [{tap}]({settings.reports_subdir}/{tap}/{report_md.name})")
+                # links are RELATIVE TO THE INDEX file (which lives inside
+                # reports_subdir). The reference prefixes the subdir again
+                # (bundle.py:70), so every link in its index resolves to
+                # reports/reports/... and is broken in any markdown viewer
+                # — a reference bug we fix, like the group-delay images
+                # (MIGRATION.md).
+                index_lines.append(f"- [{tap}]({tap}/{report_md.name})")
             except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
                 if not settings.continue_on_error:
                     raise
@@ -186,7 +187,7 @@ def run_bundle_report(
     if failures or plot_failures:
         index_lines.append("\n## Failures\n")
         for tap in failures:
-            index_lines.append(f"- {tap} (see {settings.reports_subdir}/{tap}/error.txt)")
+            index_lines.append(f"- {tap} (see {tap}/error.txt)")
         for label, exc in plot_failures:
             index_lines.append(
                 f"- plot rendering{f' ({label})' if label else ''}: "

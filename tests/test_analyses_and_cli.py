@@ -255,7 +255,9 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     )
     index = run_bundle_report(root, BundleRunSettings(report_settings=fast))
     content = index.read_text()
-    assert "- [good](reports/good/good_report.md)" in content
+    # index links resolve relative to the index file (the reference's
+    # double-subdir links are broken in a viewer — MIGRATION.md)
+    assert "- [good](good/good_report.md)" in content
     assert "bad: FAILED" in content
     assert (root / "reports" / "bad" / "error.txt").exists()
     assert (root / "reports" / "good" / "good_report.md").exists()
@@ -312,7 +314,7 @@ def test_bundle_tap_sharding_merges_via_resume(tmp_path):
     index = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))
     content = index.read_text()
     for tap in taps:
-        assert f"- [{tap}](reports/{tap}/{tap}_report.md) (cached)" in content
+        assert f"- [{tap}]({tap}/{tap}_report.md) (cached)" in content
 
     import pytest as _pytest
 
