@@ -808,10 +808,16 @@ def main(argv=None) -> None:
                 "--tap-shard shards the PLOT bundle; it cannot combine with "
                 "--no-plots or --multi-host (the engine paths batch taps themselves)"
             )
-        if getattr(args, "compare_to", None) and not bool(getattr(args, "no_plots", False)):
+        if getattr(args, "compare_to", None) and (
+            not bool(getattr(args, "no_plots", False))
+            or bool(getattr(args, "multi_host", False))
+        ):
+            # silently dropping --compare on an unwired path would make the
+            # --fail-on-change CI gate pass vacuously
             raise SystemExit(
-                "--compare diffs engine metrics: it requires --no-plots "
-                "(the metrics source is the engine's bundle_metrics.json)"
+                "--compare diffs engine metrics: it requires --no-plots and is "
+                "not wired on --multi-host (the metrics source is the engine's "
+                "bundle_metrics.json)"
             )
         if bool(getattr(args, "multi_host", False)):
             from dataclasses import replace as _replace

@@ -29,11 +29,14 @@ _LIB_CANDIDATES = [
 
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
+_override_error: Optional[OSError] = None
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_attempted
+    global _lib, _load_attempted, _override_error
     if _load_attempted:
+        if _override_error is not None:
+            raise _override_error  # every call fails loudly, not just the first
         return _lib
     _load_attempted = True
     override = os.environ.get("AA_AUDIOIO_LIB")
@@ -42,7 +45,11 @@ def _load() -> Optional[ctypes.CDLL]:
         # must be honored or fail loudly — silently falling back to the
         # repo-default .so would, e.g., run an ASan campaign against the
         # NON-sanitized library and report clean.
-        lib = ctypes.CDLL(override)  # raises OSError with the dlopen detail
+        try:
+            lib = ctypes.CDLL(override)  # raises OSError with the dlopen detail
+        except OSError as exc:
+            _override_error = exc
+            raise
         _configure(lib)
         _lib = lib
         return _lib

@@ -100,12 +100,16 @@ def run_bundle_report(
     reports_root = bundle_root / settings.reports_subdir
     reports_root.mkdir(parents=True, exist_ok=True)
 
-    index_lines: List[str] = []
-    index_lines.append("# IR Bundle Report\n")
-    index_lines.append(f"**Bundle:** `{bundle_root}`\n")
-    index_lines.append(f"**Sample rate:** {meta.get('sample_rate_hz')}\n")
-    index_lines.append(f"**Length (samples):** {meta.get('length_samples')}\n")
-    index_lines.append("\n## Taps\n")
+    header_lines: List[str] = [
+        "# IR Bundle Report\n",
+        f"**Bundle:** `{bundle_root}`\n",
+        f"**Sample rate:** {meta.get('sample_rate_hz')}\n",
+        f"**Length (samples):** {meta.get('length_samples')}\n",
+        "\n## Taps\n",
+    ]
+    # per-tap entries + the failures section — everything a shard summary
+    # shares with the full index
+    tap_lines: List[str] = []
 
     failures: List[str] = []
 
@@ -125,7 +129,7 @@ def run_bundle_report(
             report_md = out_dir / f"{tap}_report.md"
 
             if settings.resume and _report_complete(report_md):
-                index_lines.append(f"- [{tap}]({tap}/{report_md.name}) (cached)")
+                tap_lines.append(f"- [{tap}]({tap}/{report_md.name}) (cached)")
                 continue
 
             try:
@@ -141,12 +145,12 @@ def run_bundle_report(
                 # reports/reports/... and is broken in any markdown viewer
                 # — a reference bug we fix, like the group-delay images
                 # (MIGRATION.md).
-                index_lines.append(f"- [{tap}]({tap}/{report_md.name})")
+                tap_lines.append(f"- [{tap}]({tap}/{report_md.name})")
             except Exception as exc:  # noqa: BLE001 — per-tap isolation by design
                 if not settings.continue_on_error:
                     raise
                 failures.append(tap)
-                index_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
+                tap_lines.append(f"- {tap}: FAILED ({type(exc).__name__}: {exc})")
                 (out_dir / "error.txt").write_text(traceback.format_exc())
     finally:
         # drain even when a tap raised, so no figure jobs keep writing PNGs
@@ -185,11 +189,11 @@ def run_bundle_report(
         raise plot_failures[0][1]
 
     if failures or plot_failures:
-        index_lines.append("\n## Failures\n")
+        tap_lines.append("\n## Failures\n")
         for tap in failures:
-            index_lines.append(f"- {tap} (see {tap}/error.txt)")
+            tap_lines.append(f"- {tap} (see {tap}/error.txt)")
         for label, exc in plot_failures:
-            index_lines.append(
+            tap_lines.append(
                 f"- plot rendering{f' ({label})' if label else ''}: "
                 f"{type(exc).__name__}: {exc}"
             )
@@ -200,11 +204,10 @@ def run_bundle_report(
         # (`bundle --resume`, no shard) writes the real index from the
         # completed per-tap reports
         shard_path = reports_root / f"bundle_shard_{shard[0]}of{shard[1]}.md"
-        shard_lines = [f"# IR Bundle Report — shard {shard[0]}/{shard[1]}\n"]
-        shard_lines += index_lines[5:]  # the per-tap lines (+ failures)
+        shard_lines = [f"# IR Bundle Report — shard {shard[0]}/{shard[1]}\n"] + tap_lines
         shard_path.write_text("\n".join(shard_lines) + "\n")
         return shard_path
 
     index_path = reports_root / "bundle_report.md"
-    index_path.write_text("\n".join(index_lines) + "\n")
+    index_path.write_text("\n".join(header_lines + tap_lines) + "\n")
     return index_path

@@ -90,10 +90,14 @@ def format_bundle_comparison(
     threshold_pct: float = 1.0,
     previous_label: str = "previous",
     max_lines: int = 200,
+    min_abs_change: float = 1e-3,
 ) -> str:
     """Deterministic markdown section listing every headline-metric change
     >= threshold_pct (relative, symmetric denominator guard) and every
-    ok-flag flip, per tap/channel/band; plus taps present in only one run.
+    ok-flag flip, per tap/channel/band; plus taps present in only one run
+    and metric families that disappeared. `min_abs_change` suppresses
+    relative blowups on near-zero values (sub-milli-unit jitter on a
+    ~0 dB or ~0 s metric is numeric noise, not a regression).
     """
     cur_taps: List[str] = list(current.get("taps", []))
     prev_taps: List[str] = list(previous.get("taps", []))
@@ -122,6 +126,11 @@ def format_bundle_comparison(
     prev_index = {t: prev_taps.index(t) for t in shared}
     changes: List[str] = []
     for key in _COMPARED_METRICS + _OK_FLAGS:
+        if key in prev_metrics and key not in cur_metrics:
+            # a whole metric family vanished (block disabled, key renamed)
+            # — that IS a regression, not a skip
+            changes.append(f"- {key}: missing from current run (was present)")
+            continue
         if key not in cur_metrics or key not in prev_metrics:
             continue
         cur_arr = np.asarray(cur_metrics[key])
@@ -158,6 +167,8 @@ def format_bundle_comparison(
                         f"{_fmt(old_f)} -> {_fmt(new_f)}"
                     )
                     continue
+                if abs(new_f - old_f) < min_abs_change:
+                    continue
                 denom = max(abs(old_f), abs(new_f), 1e-12)
                 rel_pct = abs(new_f - old_f) / denom * 100.0
                 if rel_pct >= threshold_pct:
@@ -178,18 +189,25 @@ def format_bundle_comparison(
     return "\n".join(lines) + "\n"
 
 
-def index_has_flagged_changes(index_path: str | Path) -> bool:
-    """True iff the index's 'Changes vs' section flags anything (changed
-    metrics, ok flips, added/removed taps, or an unavailable comparison).
-    Used by `bundle --compare --fail-on-change` as a CI regression gate."""
+def flagged_changes_in_index(index_path: str | Path) -> int:
+    """Number of flagged lines in the index's 'Changes vs' section
+    (changed metrics, ok flips, added/removed taps, missing metric
+    families; an unavailable comparison counts as one). The single parser
+    both the CI gate and the watch log use, so their counts agree."""
+    count = 0
     in_section = False
     for line in Path(index_path).read_text().splitlines():
         if line.startswith("## "):
             in_section = line.startswith("## Changes vs")
             continue
         if in_section and (line.startswith("- ") or line.startswith("Comparison unavailable")):
-            return True
-    return False
+            count += 1
+    return count
+
+
+def index_has_flagged_changes(index_path: str | Path) -> bool:
+    """Used by `bundle --compare --fail-on-change` as a CI regression gate."""
+    return flagged_changes_in_index(index_path) > 0
 
 
 def compare_section_for_index(

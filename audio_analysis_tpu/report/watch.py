@@ -24,6 +24,7 @@ import time
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
 
+from audio_analysis_tpu.report.compare import flagged_changes_in_index
 from audio_analysis_tpu.report.engine_report import (
     EngineBundleSettings,
     run_bundle_report_engine,
@@ -43,6 +44,9 @@ class WatchSettings:
     max_bundles: Optional[int] = None
     # give a bundle this long after meta.json appears for late tap flushes
     settle_seconds: float = 0.25
+    # a failing bundle is retried this many times on later polls (tunnel
+    # stalls and IO hiccups are transient here) before being given up on
+    max_failures_per_bundle: int = 3
 
 
 def _bundle_signature(bundle: Path, meta: dict) -> str:
@@ -136,8 +140,15 @@ def watch_bundle_runs(
 
     state = _load_state(root)
     analyzed: Dict[str, str] = dict(state.get("analyzed", {}))
+    failures: Dict[str, dict] = dict(state.get("failures", {}))
     last_metrics: Optional[str] = state.get("last_metrics")
     written: List[Path] = []
+
+    def save_state() -> None:
+        _save_state(
+            root,
+            {"analyzed": analyzed, "failures": failures, "last_metrics": last_metrics},
+        )
 
     log(f"watching {root} (poll {settings.poll_seconds:g}s; Ctrl-C to stop)")
     while True:
@@ -145,13 +156,33 @@ def watch_bundle_runs(
             break
         progressed = False
         for bundle in _discover_bundles(root):
-            meta = _complete_bundle_meta(bundle)
-            if meta is None:
+            # the recorder may replace files under us at any point — treat
+            # a stat/read race as "not ready, retry next poll", never as a
+            # watcher crash
+            try:
+                meta = _complete_bundle_meta(bundle)
+                if meta is None:
+                    continue
+                if analyzed.get(str(bundle)) == _bundle_signature(bundle, meta):
+                    continue
+                time.sleep(settings.settle_seconds)
+                # (re-)sign AFTER the settle window so a tap flushed during
+                # it doesn't leave a stale signature that forces a
+                # duplicate re-analysis next poll
+                meta = _complete_bundle_meta(bundle)
+                if meta is None:
+                    continue
+                signature = _bundle_signature(bundle, meta)
+            except OSError:
                 continue
-            signature = _bundle_signature(bundle, meta)
             if analyzed.get(str(bundle)) == signature:
                 continue
-            time.sleep(settings.settle_seconds)
+            past = failures.get(str(bundle), {})
+            if (
+                past.get("signature") == signature
+                and past.get("count", 0) >= settings.max_failures_per_bundle
+            ):
+                continue  # gave up on this content (logged when it happened)
             engine = settings.engine
             if settings.compare_to_previous and last_metrics:
                 engine = dataclasses.replace(
@@ -162,23 +193,27 @@ def watch_bundle_runs(
             try:
                 index = run_bundle_report_engine(bundle, engine)
             except Exception as exc:  # noqa: BLE001 — keep watching
-                log(f"FAILED {bundle.name}: {type(exc).__name__}: {exc}")
-                analyzed[str(bundle)] = signature  # don't retry a broken bundle hot
-                _save_state(root, {"analyzed": analyzed, "last_metrics": last_metrics})
+                count = (past.get("count", 0) if past.get("signature") == signature else 0) + 1
+                failures[str(bundle)] = {"signature": signature, "count": count}
+                gave_up = count >= settings.max_failures_per_bundle
+                log(
+                    f"FAILED {bundle.name} (attempt {count}/"
+                    f"{settings.max_failures_per_bundle}"
+                    f"{', giving up' if gave_up else ', will retry'}): "
+                    f"{type(exc).__name__}: {exc}"
+                )
+                save_state()
                 continue
             written.append(index)
             analyzed[str(bundle)] = signature
+            failures.pop(str(bundle), None)
             last_metrics = str(index.parent / "bundle_metrics.json")
-            _save_state(root, {"analyzed": analyzed, "last_metrics": last_metrics})
+            save_state()
 
-            changes = [
-                line
-                for line in index.read_text().splitlines()
-                if line.startswith("- ") and " -> " in line
-            ]
-            suffix = f"  ({len(changes)} metric changes vs previous)" if changes else ""
+            num_changes = flagged_changes_in_index(index)
+            suffix = f"  ({num_changes} changes vs previous)" if num_changes else ""
             log(f"analysed {bundle.name}: {len(meta.get('taps', []))} taps -> {index}{suffix}")
-            _append_event_log(root, bundle, meta, index, len(changes))
+            _append_event_log(root, bundle, meta, index, num_changes)
             progressed = True
             if settings.max_bundles is not None and len(written) >= settings.max_bundles:
                 return written

@@ -45,6 +45,25 @@ def test_ok_flip_and_nan_transition_reported():
     assert "0.5000 -> nan" in text
 
 
+def test_near_zero_noise_is_not_flagged():
+    """Sub-milli-unit jitter on a near-zero metric is numeric noise: the
+    relative threshold alone would flag it at up to 100%."""
+    a = _metrics(["tap0"], [[0.0002, 0.5]])
+    b = _metrics(["tap0"], [[0.0001, 0.5]])
+    text = format_bundle_comparison(b, a, threshold_pct=1.0)
+    assert "No changes above threshold." in text
+
+
+def test_missing_metric_family_is_a_regression():
+    """A key present previously but absent now (block disabled, renamed)
+    must be flagged, not silently skipped."""
+    a = _metrics(["tap0"], [[0.5, 0.5]])
+    b = _metrics(["tap0"], [[0.5, 0.5]])
+    del b["metrics"]["t30_rt60"]
+    text = format_bundle_comparison(b, a)
+    assert "- t30_rt60: missing from current run (was present)" in text
+
+
 def test_added_removed_taps_and_channel_mismatch():
     a = _metrics(["tap0", "gone"], [[0.5, 0.5], [0.4, 0.4]])
     b = _metrics(["tap0", "new"], [[0.5, 0.5], [0.4, 0.4]])
@@ -141,3 +160,15 @@ def test_cli_fail_on_change_gate(tmp_path):
              "--compare-threshold", "5"]
         )
     assert exc_info.value.code == 3
+
+
+def test_cli_compare_rejected_on_multi_host(tmp_path):
+    """--compare on the multi-host path would be silently dropped (no
+    compare wiring there) — the gate must refuse, not vacuously pass."""
+    from audio_analysis_tpu.cli import analyse_cli
+
+    with pytest.raises(SystemExit, match="multi-host"):
+        analyse_cli.main(
+            ["bundle", "--input", str(tmp_path), "--no-plots", "--multi-host",
+             "--compare", "somewhere", "--fail-on-change"]
+        )

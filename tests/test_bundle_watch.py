@@ -41,7 +41,7 @@ def test_watch_analyses_new_bundles_and_diffs_vs_previous(tmp_path):
     content = written2[0].read_text()
     assert "## Changes vs" in content
     assert "t30_rt60" in content
-    assert any("metric changes vs previous" in line for line in logs)
+    assert any("changes vs previous" in line for line in logs)
 
     # one observability row per analysed bundle
     import json
@@ -80,6 +80,43 @@ def test_watch_reanalyses_in_place_rerecordings_and_skips_incomplete(tmp_path):
     second = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=lambda s: None)
     assert len(second) == 1
     assert "## Changes vs" in second[0].read_text()
+
+
+def test_watch_retries_transient_failures_then_gives_up(tmp_path):
+    """A failing bundle is retried up to max_failures_per_bundle on later
+    polls (tunnel stalls are transient), then given up on; a CONTENT change
+    resets the attempt budget."""
+    import json
+
+    root = tmp_path / "runs"
+    root.mkdir()
+    bundle = root / "20260101_000000"
+    write_bundle(bundle, {"tap": _tap(0.25)}, SR)
+    # corrupt the tap AFTER meta.json exists: the bundle looks complete,
+    # the engine load raises
+    (bundle / "taps" / "tap.wav").write_bytes(b"garbage not a wav")
+
+    logs = []
+    polls = {"n": 0}
+
+    def three_polls():
+        polls["n"] += 1
+        return polls["n"] > 3
+
+    settings = _fast_settings(max_failures_per_bundle=2)
+    assert watch_bundle_runs(root, settings, log=logs.append, stop=three_polls) == []
+    attempts = [l for l in logs if l.startswith("FAILED")]
+    assert len(attempts) == 2  # retried once, then gave up (not once per poll)
+    assert "giving up" in attempts[-1]
+    state = json.loads((root / ".aa_watch_state.json").read_text())
+    assert state["failures"][str(bundle)]["count"] == 2
+
+    # fixing the bundle (new content signature) clears the dead-end
+    write_bundle(bundle, {"tap": _tap(0.25)}, SR)
+    written = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=logs.append)
+    assert len(written) == 1
+    state = json.loads((root / ".aa_watch_state.json").read_text())
+    assert state["failures"] == {}
 
 
 def test_watch_cli_wiring(tmp_path, monkeypatch, capsys):

@@ -255,12 +255,13 @@ def test_audioio_lib_override_fails_loudly():
     env = dict(os.environ, AA_AUDIOIO_LIB="/nonexistent/libaudioio.so")
     src = (
         "from audio_analysis_tpu.io import native\n"
-        "try:\n"
-        "    native.available()\n"
-        "except OSError as e:\n"
-        "    print('raised ok:', e)\n"
-        "else:\n"
-        "    raise SystemExit('override silently ignored')"
+        "for attempt in range(2):\n"  # EVERY call fails loudly, not just the first
+        "    try:\n"
+        "        native.available()\n"
+        "    except OSError as e:\n"
+        "        print('raised ok:', attempt, e)\n"
+        "    else:\n"
+        "        raise SystemExit(f'override silently ignored on call {attempt}')"
     )
     run = subprocess.run(
         [sys.executable, "-c", src],
@@ -271,7 +272,7 @@ def test_audioio_lib_override_fails_loudly():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert run.returncode == 0, run.stderr[-500:]
-    assert "raised ok" in run.stdout
+    assert "raised ok: 0" in run.stdout and "raised ok: 1" in run.stdout
 
 
 def test_platform_override_pins_jax_platforms():
