@@ -231,6 +231,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="PCT")
     p.add_argument("--max-bundles", dest="max_bundles", type=int, default=None,
                    help="Exit after analysing this many bundles (default: run forever).")
+    p.add_argument("--plots", dest="watch_plots", action="store_true",
+                   help="Also render the full plot report per bundle (into "
+                        "<reports-subdir>_plots; host-bound, ~seconds per tap).")
+    p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0)
 
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
@@ -793,6 +797,8 @@ def main(argv=None) -> None:
             compare_to_previous=not bool(args.no_compare),
             compare_threshold_pct=float(args.compare_threshold),
             max_bundles=args.max_bundles,
+            plots=bool(getattr(args, "watch_plots", False)),
+            plot_processes=int(getattr(args, "plot_processes", 0)),
         )
         try:
             watch_bundle_runs(str(args.watch_root), watch_settings)

@@ -47,6 +47,10 @@ class WatchSettings:
     # a failing bundle is retried this many times on later polls (tunnel
     # stalls and IO hiccups are transient here) before being given up on
     max_failures_per_bundle: int = 3
+    # also render the full plot report per bundle (host-bound, ~seconds
+    # per tap; the engine metrics + diff stay the primary service output)
+    plots: bool = False
+    plot_processes: int = 0
 
 
 def _bundle_signature(bundle: Path, meta: dict) -> str:
@@ -204,6 +208,30 @@ def watch_bundle_runs(
                 )
                 save_state()
                 continue
+            if settings.plots:
+                # figures land in a sibling subdir so the engine index (and
+                # its metrics json / diff section) stays the service output
+                from audio_analysis_tpu.report.bundle import (
+                    BundleRunSettings,
+                    run_bundle_report,
+                )
+                from audio_analysis_tpu.report.report import ReportSettings
+
+                try:
+                    run_bundle_report(
+                        bundle,
+                        BundleRunSettings(
+                            reports_subdir=f"{settings.engine.reports_subdir}_plots",
+                            resume=True,
+                            report_settings=ReportSettings(
+                                plot_processes=settings.plot_processes
+                            ),
+                        ),
+                    )
+                except Exception as exc:  # noqa: BLE001 — plots are secondary
+                    log(f"plot report failed for {bundle.name}: "
+                        f"{type(exc).__name__}: {exc}")
+
             written.append(index)
             analyzed[str(bundle)] = signature
             failures.pop(str(bundle), None)

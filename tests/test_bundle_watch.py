@@ -82,6 +82,21 @@ def test_watch_reanalyses_in_place_rerecordings_and_skips_incomplete(tmp_path):
     assert "## Changes vs" in second[0].read_text()
 
 
+def test_watch_plots_renders_figures_alongside_metrics(tmp_path):
+    """With plots enabled, each analysed bundle also gets the plot report
+    in a sibling subdir; the engine index stays the primary output."""
+    root = tmp_path / "runs"
+    root.mkdir()
+    write_bundle(root / "20260101_000000", {"tap": _tap(0.25)}, SR)
+
+    settings = _fast_settings(max_bundles=1, plots=True)
+    written = watch_bundle_runs(root, settings, log=lambda s: None)
+    assert len(written) == 1
+    plots_root = root / "20260101_000000" / "reports_plots"
+    assert (plots_root / "bundle_report.md").exists()
+    assert (plots_root / "tap" / "tap_decay.png").exists()
+
+
 def test_watch_retries_transient_failures_then_gives_up(tmp_path):
     """A failing bundle is retried up to max_failures_per_bundle on later
     polls (tunnel stalls are transient), then given up on; a CONTENT change
