@@ -321,6 +321,14 @@ def test_bundle_tap_sharding_merges_via_resume(tmp_path):
     with _pytest.raises(ValueError, match="tap_shard"):
         run_bundle_report(root, BundleRunSettings(report_settings=fast, tap_shard="2/2"))
 
+    # more shards than taps: the extra shard owns nothing and says so
+    empty = run_bundle_report(
+        root, BundleRunSettings(report_settings=fast, tap_shard="3/4")
+    )
+    assert empty.name == "bundle_shard_3of4.md"
+    assert "shard 3/4" in empty.read_text()
+    assert "](" not in empty.read_text()  # no tap entries
+
 
 def test_cli_bundle_bands_decimate_wiring(tmp_path, monkeypatch, capsys):
     """--bands-decimate reaches EngineConfig on the engine fast path."""

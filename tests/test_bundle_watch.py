@@ -134,6 +134,29 @@ def test_watch_retries_transient_failures_then_gives_up(tmp_path):
     assert state["failures"] == {}
 
 
+def test_watch_picks_up_bundle_appearing_mid_poll(tmp_path):
+    """A bundle written WHILE the watcher is polling is analysed on a later
+    poll — the service behavior, not just the pre-existing-bundle case."""
+    import threading
+    import time
+
+    root = tmp_path / "runs"
+    root.mkdir()
+
+    def writer():
+        time.sleep(0.3)
+        write_bundle(root / "20260101_000500", {"tap": _tap(0.3)}, SR)
+
+    thread = threading.Thread(target=writer)
+    thread.start()
+    try:
+        written = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=lambda s: None)
+    finally:
+        thread.join()
+    assert len(written) == 1
+    assert "20260101_000500" in str(written[0])
+
+
 def test_watch_cli_wiring(tmp_path, monkeypatch, capsys):
     """The watch subcommand builds WatchSettings from flags."""
     import audio_analysis_tpu.report as report_pkg
