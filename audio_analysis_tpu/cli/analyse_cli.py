@@ -236,6 +236,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "<reports-subdir>_plots; host-bound, ~seconds per tap).")
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0)
 
+    # --- compare ---
+    p = sub.add_parser(
+        "compare",
+        help="Diff two existing engine runs' headline metrics "
+             "(bundle_metrics.json files, reports dirs, or bundle roots).",
+    )
+    p.add_argument("previous", type=str, help="Older run (the baseline).")
+    p.add_argument("current", type=str, help="Newer run.")
+    p.add_argument("--threshold", dest="compare_threshold", type=float, default=1.0,
+                   metavar="PCT", help="Relative change (%%) to flag (default 1.0).")
+    p.add_argument("--fail-on-change", dest="fail_on_change", action="store_true",
+                   help="Exit 3 when any change is flagged.")
+
     # --- deconvolve ---
     p = sub.add_parser("deconvolve", help="Deconvolve recorded sweep output into an IR WAV.")
     p.add_argument("--recorded_wav_file_path", type=str, required=True)
@@ -779,6 +792,26 @@ def main(argv=None) -> None:
             )
         print(results.summary_markdown)
         print(f"Wrote: {results.summary_markdown_path}")
+        return
+
+    if cmd == "compare":
+        from audio_analysis_tpu.report.compare import (
+            format_bundle_comparison,
+            load_bundle_metrics,
+        )
+
+        section = format_bundle_comparison(
+            load_bundle_metrics(args.current),
+            load_bundle_metrics(args.previous),
+            threshold_pct=float(args.compare_threshold),
+            previous_label=f"`{args.previous}`",
+        )
+        print(section.strip())
+        flagged = any(
+            line.startswith("- ") for line in section.splitlines()
+        )
+        if flagged and bool(getattr(args, "fail_on_change", False)):
+            raise SystemExit(3)
         return
 
     if cmd == "watch":

@@ -162,6 +162,35 @@ def test_cli_fail_on_change_gate(tmp_path):
     assert exc_info.value.code == 3
 
 
+def test_cli_standalone_compare_subcommand(tmp_path, capsys):
+    """`analyse compare PREV CUR` diffs two existing metrics dumps without
+    re-analyzing; --fail-on-change exits 3."""
+    import json
+
+    from audio_analysis_tpu.cli import analyse_cli
+
+    (tmp_path / "a.json").write_text(json.dumps(_metrics(["t"], [[0.5, 0.5]])))
+    (tmp_path / "b.json").write_text(json.dumps(_metrics(["t"], [[0.5, 0.6]])))
+
+    analyse_cli.main(["compare", str(tmp_path / "a.json"), str(tmp_path / "b.json")])
+    out = capsys.readouterr().out
+    assert "t [right] t30_rt60: 0.5000 -> 0.6000" in out
+
+    # identical runs: no flag, exit normally even with the gate
+    analyse_cli.main(
+        ["compare", str(tmp_path / "a.json"), str(tmp_path / "a.json"), "--fail-on-change"]
+    )
+    capsys.readouterr()
+
+    with pytest.raises(SystemExit) as exc_info:
+        analyse_cli.main(
+            ["compare", str(tmp_path / "a.json"), str(tmp_path / "b.json"),
+             "--fail-on-change"]
+        )
+    assert exc_info.value.code == 3
+    capsys.readouterr()
+
+
 def test_cli_compare_rejected_on_multi_host(tmp_path):
     """--compare on the multi-host path would be silently dropped (no
     compare wiring there) — the gate must refuse, not vacuously pass."""
