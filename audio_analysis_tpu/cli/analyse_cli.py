@@ -244,8 +244,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("previous", type=str, help="Older run (the baseline).")
     p.add_argument("current", type=str, help="Newer run.")
-    p.add_argument("--threshold", dest="compare_threshold", type=float, default=1.0,
-                   metavar="PCT", help="Relative change (%%) to flag (default 1.0).")
+    p.add_argument("--threshold", "--compare-threshold", dest="compare_threshold",
+                   type=float, default=1.0, metavar="PCT",
+                   help="Relative change (%%) to flag (default 1.0; "
+                        "--compare-threshold accepted for bundle-flag parity).")
     p.add_argument("--fail-on-change", dest="fail_on_change", action="store_true",
                    help="Exit 3 when any change is flagged.")
 
@@ -796,6 +798,7 @@ def main(argv=None) -> None:
 
     if cmd == "compare":
         from audio_analysis_tpu.report.compare import (
+            count_flagged_in_text,
             format_bundle_comparison,
             load_bundle_metrics,
         )
@@ -807,10 +810,7 @@ def main(argv=None) -> None:
             previous_label=f"`{args.previous}`",
         )
         print(section.strip())
-        flagged = any(
-            line.startswith("- ") for line in section.splitlines()
-        )
-        if flagged and bool(getattr(args, "fail_on_change", False)):
+        if count_flagged_in_text(section) and bool(getattr(args, "fail_on_change", False)):
             raise SystemExit(3)
         return
 

@@ -189,20 +189,26 @@ def format_bundle_comparison(
     return "\n".join(lines) + "\n"
 
 
-def flagged_changes_in_index(index_path: str | Path) -> int:
-    """Number of flagged lines in the index's 'Changes vs' section
-    (changed metrics, ok flips, added/removed taps, missing metric
-    families; an unavailable comparison counts as one). The single parser
-    both the CI gate and the watch log use, so their counts agree."""
+def count_flagged_in_text(text: str) -> int:
+    """Number of flagged lines in 'Changes vs' section text (changed
+    metrics, ok flips, added/removed taps, missing metric families; an
+    unavailable comparison counts as one). THE single parser — the CI
+    gates, the watch log and the compare subcommand all count through it,
+    so they agree by construction."""
     count = 0
     in_section = False
-    for line in Path(index_path).read_text().splitlines():
+    for line in text.splitlines():
         if line.startswith("## "):
             in_section = line.startswith("## Changes vs")
             continue
         if in_section and (line.startswith("- ") or line.startswith("Comparison unavailable")):
             count += 1
     return count
+
+
+def flagged_changes_in_index(index_path: str | Path) -> int:
+    """`count_flagged_in_text` over an index file."""
+    return count_flagged_in_text(Path(index_path).read_text())
 
 
 def index_has_flagged_changes(index_path: str | Path) -> bool:

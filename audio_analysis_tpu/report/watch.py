@@ -222,15 +222,40 @@ def watch_bundle_runs(
                         bundle,
                         BundleRunSettings(
                             reports_subdir=f"{settings.engine.reports_subdir}_plots",
-                            resume=True,
+                            # resume only recovers a PARTIAL first render; a
+                            # re-recorded bundle (signature change on an
+                            # already-analysed path) must re-render, or the
+                            # old recording's figures sit next to the new
+                            # metrics
+                            resume=str(bundle) not in analyzed,
                             report_settings=ReportSettings(
-                                plot_processes=settings.plot_processes
+                                plot_processes=settings.plot_processes,
+                                common_use_mono_downmix_for_stereo=(
+                                    settings.engine.use_mono_downmix_for_stereo
+                                ),
                             ),
                         ),
                     )
-                except Exception as exc:  # noqa: BLE001 — plots are secondary
-                    log(f"plot report failed for {bundle.name}: "
-                        f"{type(exc).__name__}: {exc}")
+                except Exception as exc:  # noqa: BLE001 — same retry budget
+                    # as an engine failure: the bundle stays un-analysed so a
+                    # transient plot failure is retried next poll (the engine
+                    # rerun is cheap — the bundle audio is device-cached)
+                    count = (
+                        past.get("count", 0) if past.get("signature") == signature else 0
+                    ) + 1
+                    failures[str(bundle)] = {"signature": signature, "count": count}
+                    gave_up = count >= settings.max_failures_per_bundle
+                    log(
+                        f"plot report FAILED for {bundle.name} (attempt {count}/"
+                        f"{settings.max_failures_per_bundle}"
+                        f"{', keeping the metrics-only result' if gave_up else ', will retry'}): "
+                        f"{type(exc).__name__}: {exc}"
+                    )
+                    save_state()
+                    if not gave_up:
+                        continue
+                    # out of retries: keep the successful engine analysis
+                    # (metrics/diff) rather than dropping the bundle
 
             written.append(index)
             analyzed[str(bundle)] = signature

@@ -94,7 +94,15 @@ def test_watch_plots_renders_figures_alongside_metrics(tmp_path):
     assert len(written) == 1
     plots_root = root / "20260101_000000" / "reports_plots"
     assert (plots_root / "bundle_report.md").exists()
-    assert (plots_root / "tap" / "tap_decay.png").exists()
+    decay_png = plots_root / "tap" / "tap_decay.png"
+    assert decay_png.exists()
+
+    # re-record in place: figures must RE-RENDER (resume would keep the old
+    # recording's curves next to the new metrics)
+    before = decay_png.stat().st_mtime_ns
+    write_bundle(root / "20260101_000000", {"tap": _tap(0.4)}, SR)
+    watch_bundle_runs(root, settings, log=lambda s: None)
+    assert decay_png.stat().st_mtime_ns > before
 
 
 def test_watch_retries_transient_failures_then_gives_up(tmp_path):
