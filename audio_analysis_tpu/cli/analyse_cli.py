@@ -847,15 +847,15 @@ def main(argv=None) -> None:
                 "--tap-shard shards the PLOT bundle; it cannot combine with "
                 "--no-plots or --multi-host (the engine paths batch taps themselves)"
             )
-        if getattr(args, "compare_to", None) and (
-            not bool(getattr(args, "no_plots", False))
+        if getattr(args, "compare_to", None) and not (
+            bool(getattr(args, "no_plots", False))
             or bool(getattr(args, "multi_host", False))
         ):
             # silently dropping --compare on an unwired path would make the
             # --fail-on-change CI gate pass vacuously
             raise SystemExit(
-                "--compare diffs engine metrics: it requires --no-plots and is "
-                "not wired on --multi-host (the metrics source is the engine's "
+                "--compare diffs engine metrics: it requires --no-plots or "
+                "--multi-host (the metrics source is the engine's "
                 "bundle_metrics.json)"
             )
         if bool(getattr(args, "multi_host", False)):
@@ -891,9 +891,19 @@ def main(argv=None) -> None:
                     downmix_to_mono=bool(args.use_mono_downmix),
                 ),
                 reports_subdir=str(args.reports_subdir),
+                compare_to=getattr(args, "compare_to", None),
+                compare_threshold_pct=float(getattr(args, "compare_threshold", 1.0)),
             )
             if index is not None:
                 print(f"Wrote bundle report index: {index}")
+                if getattr(args, "compare_to", None) and bool(
+                    getattr(args, "fail_on_change", False)
+                ):
+                    from audio_analysis_tpu.report.compare import index_has_flagged_changes
+
+                    if index_has_flagged_changes(index):
+                        print("Changes flagged vs previous run (see the index) — exiting 3.")
+                        raise SystemExit(3)
             return
 
         if bool(getattr(args, "no_plots", False)):

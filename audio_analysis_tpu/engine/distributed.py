@@ -103,6 +103,7 @@ def analyze_bundle_multi_host(
     config=None,
     devices: Optional[Sequence] = None,
     pad_multiple: int = 4096,
+    gather_global: bool = False,
 ) -> Dict[str, object]:
     """
     Analyse a bundle across every process of an initialized multi-host job.
@@ -212,6 +213,15 @@ def analyze_bundle_multi_host(
     result: Dict[str, object] = {k: _local_rows(v) for k, v in out.items()}
     result.update({k: np.asarray(v) for k, v in agg.items()})
     result["local_tap_names"] = local_names
+    if gather_global:
+        # replicate the (small) per-tap metric arrays to every process —
+        # one compiled all-gather over the coordination network; process 0
+        # uses this for the bundle-wide metrics dump + run comparison
+        replicated = NamedSharding(mesh, P())
+        gather = jax.jit(lambda tree: tree, out_shardings=replicated)
+        result["global_metrics"] = {
+            k: np.asarray(v)[:b] for k, v in gather(out).items()
+        }
     return result
 
 
@@ -219,14 +229,20 @@ def run_bundle_report_multi_host(
     bundle_root: str | Path,
     config=None,
     reports_subdir: str = "reports",
+    compare_to: Optional[str] = None,
+    compare_threshold_pct: float = 1.0,
 ) -> Optional[Path]:
     """
     Multi-host engine bundle reports over a shared filesystem: every
     process analyses and writes `<reports>/<tap>/<tap>_report.md` for the
     taps its devices own; after a cross-host barrier, process 0 writes the
-    bundle index with the all-reduced aggregates and returns its path
-    (other processes return None).
+    bundle index with the all-reduced aggregates (plus, with `compare_to`,
+    the same 'Changes vs previous' section and bundle_metrics.json dump as
+    the single-host engine runner) and returns its path (other processes
+    return None).
     """
+    import json
+
     import jax
 
     from audio_analysis_tpu.report.engine_report import (
@@ -243,7 +259,7 @@ def run_bundle_report_multi_host(
     run_config = dataclasses.replace(
         config if config is not None else EngineConfig(), sample_rate_hz=sr
     )
-    out = analyze_bundle_multi_host(bundle_root, run_config)
+    out = analyze_bundle_multi_host(bundle_root, run_config, gather_global=True)
     names = out["local_tap_names"]
     channel_names = _channel_names_from_output(out)
 
@@ -284,6 +300,25 @@ def run_bundle_report_multi_host(
     for tap in meta.taps:
         # relative to the index file, which already lives in reports_subdir
         lines.append(f"- [{tap}]({tap}/{tap}_report.md)")
+
+    # same machine-readable dump + run comparison as the single-host
+    # engine runner — the comparison reads the PREVIOUS file before this
+    # run's dump overwrites it, so in-place comparison works here too
+    metrics_json = {
+        "taps": list(meta.taps),
+        "channels": channel_names,
+        "metrics": {k: np.asarray(v).tolist() for k, v in out["global_metrics"].items()},
+    }
+    if compare_to:
+        from audio_analysis_tpu.report.compare import compare_section_for_index
+
+        section = compare_section_for_index(metrics_json, compare_to, compare_threshold_pct)
+    else:
+        section = None
+    (reports_root / "bundle_metrics.json").write_text(json.dumps(metrics_json, indent=1))
+    if section:
+        lines.append(section)
+
     index_path = reports_root / "bundle_report.md"
     index_path.write_text("\n".join(lines) + "\n")
     return index_path

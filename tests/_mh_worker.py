@@ -38,8 +38,25 @@ def main() -> None:
     index = run_bundle_report_multi_host(bundle_root, EngineConfig(run_modal=False))
     if int(proc_id) == 0:
         assert index is not None and index.exists()
+        # process 0 dumped GLOBAL per-tap metrics (all taps, not its shard)
+        metrics = json.loads((index.parent / "bundle_metrics.json").read_text())
+        assert len(metrics["taps"]) == len(metrics["metrics"]["t30_rt60"])
+        assert len(metrics["taps"]) > len(out["local_tap_names"])
     else:
         assert index is None
+
+    # second run comparing against the first, in place: identical content,
+    # so the comparison section reports no changes (and every process
+    # participates in the gather collective)
+    index2 = run_bundle_report_multi_host(
+        bundle_root,
+        EngineConfig(run_modal=False),
+        compare_to=str(bundle_root) + "/reports",
+    )
+    if int(proc_id) == 0:
+        content = index2.read_text()
+        assert "## Changes vs" in content
+        assert "No changes above threshold." in content
 
     payload = {
         "process_id": int(proc_id),

@@ -191,13 +191,14 @@ def test_cli_standalone_compare_subcommand(tmp_path, capsys):
     capsys.readouterr()
 
 
-def test_cli_compare_rejected_on_multi_host(tmp_path):
-    """--compare on the multi-host path would be silently dropped (no
-    compare wiring there) — the gate must refuse, not vacuously pass."""
+def test_cli_compare_rejected_on_plot_path(tmp_path):
+    """--compare on the plot-only path would be silently dropped (the
+    metrics come from the engine) — the gate must refuse, not vacuously
+    pass. Engine paths (--no-plots, --multi-host) both have wiring."""
     from audio_analysis_tpu.cli import analyse_cli
 
-    with pytest.raises(SystemExit, match="multi-host"):
+    with pytest.raises(SystemExit, match="no-plots or"):
         analyse_cli.main(
-            ["bundle", "--input", str(tmp_path), "--no-plots", "--multi-host",
+            ["bundle", "--input", str(tmp_path),
              "--compare", "somewhere", "--fail-on-change"]
         )
