@@ -424,11 +424,15 @@ def run_bundle_report_engine(
 
     # machine-readable dump of every metric
     start_json = time.perf_counter()
+    t30 = np.asarray(out["t30_rt60"])
+    t30_valid = t30[np.asarray(out["t30_ok"]) & np.isfinite(t30)]
     metrics_json = {
         "taps": names,
         "channels": channel_names,
         "load_seconds": load_seconds,
         "compute_seconds": compute_seconds,
+        # the service-level headline (watch_log.jsonl picks it up)
+        "bundle_median_t30": float(np.median(t30_valid)) if t30_valid.size else None,
         "phases": phases,  # json_s lands in the file too (dict aliased)
         # NaN/Infinity are emitted as-is (Python json extension) for
         # unavailable metrics; consumers should parse with the same.

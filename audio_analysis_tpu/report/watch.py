@@ -116,6 +116,7 @@ def _append_event_log(
         timings = json.loads((index.parent / "bundle_metrics.json").read_text())
         event["load_seconds"] = timings.get("load_seconds")
         event["compute_seconds"] = timings.get("compute_seconds")
+        event["bundle_median_t30"] = timings.get("bundle_median_t30")
     except (OSError, ValueError):
         pass
     try:

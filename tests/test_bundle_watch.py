@@ -50,6 +50,8 @@ def test_watch_analyses_new_bundles_and_diffs_vs_previous(tmp_path):
     assert [r["bundle"] for r in rows] == ["20260101_000000", "20260101_000100"]
     assert rows[0]["flagged_changes"] == 0 and rows[1]["flagged_changes"] > 0
     assert rows[1]["compute_seconds"] > 0
+    assert 0.2 < rows[0]["bundle_median_t30"] < 0.3  # the service headline
+    assert 0.3 < rows[1]["bundle_median_t30"] < 0.4
 
     # nothing new: the stop callback bounds the idle loop
     polls = {"n": 0}
