@@ -144,6 +144,17 @@ def test_watch_retries_transient_failures_then_gives_up(tmp_path):
     assert state["failures"] == {}
 
 
+def test_watch_survives_corrupt_state_file(tmp_path):
+    """A truncated/garbage .aa_watch_state.json (crash mid-write) resets
+    the state instead of killing the service."""
+    root = tmp_path / "runs"
+    root.mkdir()
+    (root / ".aa_watch_state.json").write_text("{corrupt json!!")
+    write_bundle(root / "20260101_000000", {"tap": _tap(0.25)}, SR)
+    written = watch_bundle_runs(root, _fast_settings(max_bundles=1), log=lambda s: None)
+    assert len(written) == 1
+
+
 def test_watch_picks_up_bundle_appearing_mid_poll(tmp_path):
     """A bundle written WHILE the watcher is polling is analysed on a later
     poll — the service behavior, not just the pre-existing-bundle case."""

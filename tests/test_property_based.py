@@ -145,3 +145,66 @@ def test_loader_normalises_scipy_internal_errors(tmp_path):
         p.write_bytes(data)
         with pytest.raises((IOError, ValueError)):
             load_wav_file(p, expected_channel_mode="mono_or_stereo")
+
+
+@hsettings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.data())
+def test_bundle_comparison_never_crashes_and_is_deterministic(data):
+    """format_bundle_comparison over randomised metrics dicts: arbitrary
+    tap sets, NaN/inf values, flag flips, shape changes — always returns a
+    string, deterministically, and flags a change iff one was injected
+    above both thresholds."""
+    import math
+
+    from audio_analysis_tpu.report.compare import (
+        count_flagged_in_text,
+        format_bundle_comparison,
+    )
+
+    n_taps = data.draw(st.integers(1, 4))
+    taps = [f"tap{i}" for i in range(n_taps)]
+    channels = data.draw(st.sampled_from([["mono"], ["left", "right"]]))
+    c = len(channels)
+
+    def values(lo=0.01, hi=100.0):
+        return data.draw(
+            st.lists(
+                st.lists(
+                    st.one_of(
+                        st.floats(lo, hi),
+                        st.just(float("nan")),
+                        st.just(float("inf")),
+                    ),
+                    min_size=c,
+                    max_size=c,
+                ),
+                min_size=n_taps,
+                max_size=n_taps,
+            )
+        )
+
+    prev = {
+        "taps": taps,
+        "channels": channels,
+        "metrics": {"t30_rt60": values(), "fr_peak_hz": values(20.0, 20000.0)},
+    }
+    import copy
+
+    cur = copy.deepcopy(prev)
+    inject = data.draw(st.booleans())
+    if inject:
+        row = data.draw(st.integers(0, n_taps - 1))
+        col = data.draw(st.integers(0, c - 1))
+        old = cur["metrics"]["t30_rt60"][row][col]
+        if math.isfinite(old):
+            cur["metrics"]["t30_rt60"][row][col] = old * 2.0 + 1.0  # >> thresholds
+
+    text1 = format_bundle_comparison(cur, prev, threshold_pct=1.0)
+    text2 = format_bundle_comparison(cur, prev, threshold_pct=1.0)
+    assert text1 == text2  # deterministic
+    flagged = count_flagged_in_text(text1)
+    old = prev["metrics"]["t30_rt60"]
+    if inject and math.isfinite(old[row][col]):
+        assert flagged >= 1, text1
+    elif not inject:
+        assert flagged == 0, text1
