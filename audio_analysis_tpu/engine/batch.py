@@ -76,9 +76,16 @@ class EngineConfig:
     # the Low band's inverse FFT + EDC + fit planes shrink 32x, Mid 4x at the
     # default edges (2x oversampling margin). Band samples are exact; the EDC
     # partial sums differ by windowed Riemann/boundary terms that grow with k
-    # — measured <= 0.4 dB above -30 dB and <= 0.5% on T30/T20/EDT fits
-    # (tests/test_bands_decimate.py). Opt-in until measured on the chip
-    # (scripts/bench_bands_decimate.py).
+    # — <= 0.4 dB above -30 dB and <= 0.5% on T30/T20/EDT fits for smooth
+    # decays (tests/test_bands_decimate.py). DELIBERATELY opt-in: measured on
+    # the v5e chip (scripts/bench_bands_decimate.py, 2026-08-19) the bands
+    # block gains 1.48x (three-band) / 2.78x (third-octave), but marginal
+    # NARROWBAND fits — noise-like content in heavily-cropped bands, where the
+    # decimated energy envelope beats near the critical rate — can move their
+    # dB crossings enough to change T30 materially (6% three-band, unbounded
+    # for near-garbage third-octave fits). Full-rate stays the default for
+    # reference parity; enable via --bands-decimate when throughput matters
+    # more than marginal-band fit stability.
     bands_decimate: bool = False
 
     # spectra
@@ -97,12 +104,18 @@ class EngineConfig:
     # Stop the modal STFT at the last rfft bin any log bin uses (f_max is
     # 20 kHz of a 24 kHz Nyquist -> bins 3415.. of 4097 are zero-weight in
     # the bin matrix): stage-2 of the mx FFT and the magnitude/binning
-    # planes shrink by the same ~17%. Off = bit-compatible with round-2
-    # output (the trimmed matmul shape reorders accumulation at ~1e-4 dB).
-    modal_trim_bins: bool = False
+    # planes shrink by the same ~17%. DEFAULT ON since the v5e measurement
+    # (scripts/bench_modal_variants.py, 2026-08-19): modal block 113.5 ->
+    # 96.2 ms per 16-tap chunk with ZERO measured dB diff vs the untrimmed
+    # path on that workload (worst case is an ~1e-4 dB accumulation reorder
+    # in the trimmed matmul; oracle tolerances cover it). Set False for
+    # bit-compatibility with round-2 output.
+    modal_trim_bins: bool = True
     # mx stage split override for the modal 8192 FFT (None = balanced
     # 64x128; 128 puts the stage-1 contraction at the MXU-native 128) —
-    # scripts/bench_modal_variants.py measures the candidates
+    # scripts/bench_modal_variants.py measured split128 SLOWER on the v5e
+    # (190.5 vs 113.5 ms: the unbalanced stage-2 dominates), so the
+    # balanced default stands.
     modal_fft_n1: int | None = None
 
     # diffusion with the report defaults (report.py:360-361)
