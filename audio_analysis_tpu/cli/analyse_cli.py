@@ -109,6 +109,35 @@ def _add_output_noshow(p: argparse.ArgumentParser, help_text: str, underscore: b
                    help="Also write the result pytree as JSON to this path.")
 
 
+def _add_engine_config_flags(p: argparse.ArgumentParser) -> None:
+    """Tri-state engine kernel knobs shared by the engine fast paths
+    (bundle --no-plots / --multi-host, watch): absent = EngineConfig
+    default; --flag / --no-flag force it. Each is the documented escape
+    hatch for a measured-default flip (EngineConfig docstrings)."""
+    p.add_argument("--bands-decimate", dest="bands_decimate", action=BoolOpt,
+                   default=None,
+                   help="Run band EDC/fits on spectrum-crop decimated planes where the "
+                        "band's oversampling margin allows (exact band samples; see "
+                        "EngineConfig.bands_decimate). --no-bands-decimate restores "
+                        "full-rate planes for every band.")
+    p.add_argument("--modal-trim-bins", dest="modal_trim_bins", action=BoolOpt,
+                   default=None,
+                   help="Trim the modal STFT at the last log-bin-weighted rfft bin "
+                        "(EngineConfig.modal_trim_bins). --no-modal-trim-bins restores "
+                        "round-2 bit-compatible modal output.")
+
+
+def _engine_config_overrides(args: argparse.Namespace) -> dict:
+    """kwargs for dataclasses.replace(EngineConfig(), ...) from the tri-state
+    flags added by _add_engine_config_flags (None = keep the default)."""
+    overrides = {}
+    for name in ("bands_decimate", "modal_trim_bins"):
+        value = getattr(args, name, None)
+        if value is not None:
+            overrides[name] = bool(value)
+    return overrides
+
+
 def _maybe_write_json(args: argparse.Namespace, results) -> None:
     json_path = getattr(args, "json_path", None)
     if json_path:
@@ -176,10 +205,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bands", dest="band_mode", type=str, default="three",
                    choices=["three", "octave", "third"],
                    help="RT60 band mode for the engine fast path (rt60bands.py band modes).")
-    p.add_argument("--bands-decimate", dest="bands_decimate", action="store_true",
-                   help="Experimental: run low-band EDC/fits on spectrum-crop decimated "
-                        "planes (exact band samples; fits within 0.5%% of full rate — "
-                        "see EngineConfig.bands_decimate).")
+    _add_engine_config_flags(p)
     p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0,
                    help="Render figures on a process pool of this many workers "
                         "(multi-core hosts); 0 = single render thread.")
@@ -225,6 +251,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
     p.add_argument("--bands", dest="band_mode", type=str, default="three",
                    choices=["three", "octave", "third"])
+    _add_engine_config_flags(p)
     p.add_argument("--no-compare", dest="no_compare", action="store_true",
                    help="Skip the automatic diff against the previously analysed bundle.")
     p.add_argument("--compare-threshold", dest="compare_threshold", type=float, default=1.0,
@@ -825,7 +852,8 @@ def main(argv=None) -> None:
             engine=EngineBundleSettings(
                 reports_subdir=str(args.reports_subdir),
                 use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
-                config=_replace(EngineConfig(), band_mode=str(args.band_mode)),
+                config=_replace(EngineConfig(), band_mode=str(args.band_mode),
+                                **_engine_config_overrides(args)),
             ),
             compare_to_previous=not bool(args.no_compare),
             compare_threshold_pct=float(args.compare_threshold),
@@ -887,8 +915,8 @@ def main(argv=None) -> None:
                 _replace(
                     EngineConfig(),
                     band_mode=str(getattr(args, "band_mode", "three")),
-                    bands_decimate=bool(getattr(args, "bands_decimate", False)),
                     downmix_to_mono=bool(args.use_mono_downmix),
+                    **_engine_config_overrides(args),
                 ),
                 reports_subdir=str(args.reports_subdir),
                 compare_to=getattr(args, "compare_to", None),
@@ -922,7 +950,7 @@ def main(argv=None) -> None:
                     config=_replace(
                         EngineConfig(),
                         band_mode=str(getattr(args, "band_mode", "three")),
-                        bands_decimate=bool(getattr(args, "bands_decimate", False)),
+                        **_engine_config_overrides(args),
                     ),
                 ),
             )

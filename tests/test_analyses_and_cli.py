@@ -356,6 +356,63 @@ def test_cli_bundle_bands_decimate_wiring(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
 
 
+def test_cli_bundle_engine_kernel_flags_tristate(tmp_path, monkeypatch, capsys):
+    """--no-bands-decimate / --[no-]modal-trim-bins reach EngineConfig; absent
+    flags keep the EngineConfig defaults (the escape hatches for the measured
+    default flips — ADVICE r3)."""
+    from dataclasses import fields
+
+    import audio_analysis_tpu.report as report_pkg
+    from audio_analysis_tpu.cli import analyse_cli
+    from audio_analysis_tpu.engine import EngineConfig
+
+    captured = {}
+
+    def fake_engine_report(root, settings):
+        captured["config"] = settings.config
+        return Path(root) / "reports" / "index.md"
+
+    monkeypatch.setattr(report_pkg, "run_bundle_report_engine", fake_engine_report)
+
+    analyse_cli.main(
+        ["bundle", "--input", str(tmp_path), "--no-plots",
+         "--no-bands-decimate", "--no-modal-trim-bins"]
+    )
+    assert captured["config"].bands_decimate is False
+    assert captured["config"].modal_trim_bins is False
+
+    analyse_cli.main(
+        ["bundle", "--input", str(tmp_path), "--no-plots", "--modal-trim-bins"]
+    )
+    assert captured["config"].modal_trim_bins is True
+    # no flag given -> the dataclass defaults survive untouched
+    defaults = {f.name: f.default for f in fields(EngineConfig)}
+    assert captured["config"].bands_decimate == defaults["bands_decimate"]
+    capsys.readouterr()
+
+
+def test_cli_watch_engine_kernel_flags(tmp_path, monkeypatch, capsys):
+    """The watch subcommand forwards the engine kernel flags too."""
+    import audio_analysis_tpu.report as report_pkg
+    from audio_analysis_tpu.cli import analyse_cli
+
+    captured = {}
+
+    def fake_watch(root, settings):
+        captured["settings"] = settings
+
+    monkeypatch.setattr(report_pkg, "watch_bundle_runs", fake_watch)
+    analyse_cli.main(
+        ["watch", "--input", str(tmp_path), "--no-bands-decimate",
+         "--no-modal-trim-bins", "--bands", "third"]
+    )
+    config = captured["settings"].engine.config
+    assert config.bands_decimate is False
+    assert config.modal_trim_bins is False
+    assert config.band_mode == "third"
+    capsys.readouterr()
+
+
 def test_cli_json_flag(tmp_path, capsys, ir_wav):
     """--json on a subcommand writes the result pytree next to the summary."""
     from audio_analysis_tpu.cli import analyse_cli
