@@ -79,13 +79,19 @@ class EngineConfig:
     # — <= 0.4 dB above -30 dB and <= 0.5% on T30/T20/EDT fits for smooth
     # decays (tests/test_bands_decimate.py). DELIBERATELY opt-in: measured on
     # the v5e chip (scripts/bench_bands_decimate.py, 2026-08-19) the bands
-    # block gains 1.48x (three-band) / 2.78x (third-octave), but marginal
-    # NARROWBAND fits — noise-like content in heavily-cropped bands, where the
-    # decimated energy envelope beats near the critical rate — can move their
-    # dB crossings enough to change T30 materially (6% three-band, unbounded
-    # for near-garbage third-octave fits). Full-rate stays the default for
-    # reference parity; enable via --bands-decimate when throughput matters
-    # more than marginal-band fit stability.
+    # block gains 1.48x (three-band) / 2.78x (third-octave), but fits on
+    # NOISE-like narrowband content move percent-level under ANY grid change.
+    # The round-4 auto-guard investigation (docs/PERFORMANCE.md) measured
+    # every candidate guard — 4x/8x oversampling margins, capping k at 2,
+    # an Euler-Maclaurin boundary correction — and none bounds the movement,
+    # because it is the FIT's intrinsic sensitivity: the same full-rate fits
+    # move by the same order under +-0.5 LSB of PCM16 input dither
+    # (tests/test_bands_decimate.py::test_decimation_movement_is_intrinsic_
+    # fit_sensitivity). Full-rate stays the default so the engine remains
+    # numerically consistent with the per-file analyses modules (which keep
+    # the reference's grid, rt60bands.py:392-399); enable via
+    # --bands-decimate when bundle throughput matters more than last-percent
+    # reproducibility of noisy narrowband fits.
     bands_decimate: bool = False
 
     # spectra

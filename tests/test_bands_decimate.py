@@ -163,6 +163,100 @@ def _banded_sine_batch(band_defs, n, taps=3):
     return batch, lengths
 
 
+@pytest.mark.parametrize("band_mode", ["three", "third"])
+def test_decimation_movement_is_intrinsic_fit_sensitivity(band_mode):
+    """The round-4 auto-guard investigation, pinned as a test (adversarial
+    NOISE-excited decays — the PERF-note failure mode).
+
+    Measured ground truth (docs/PERFORMANCE.md round-4 note): no static
+    guard bounds decimated-vs-full fit movement on noisy narrowband EDCs —
+    widening the support margin (divisor 4 -> 8 -> 16), capping the factor
+    at 2, and an Euler-Maclaurin boundary correction all leave percent-level
+    movement on sane fits, because the movement is the FIT's intrinsic
+    sensitivity: the same fits move by the same order under +-0.5 LSB of
+    PCM16 input dither (the quantisation the bundle contract applies to
+    every tap anyway). This test asserts that structure:
+
+      1. sane-fit movement under decimation is bounded (< 25 %),
+         with a tiny median (< 0.5 %);
+      2. the same fixtures move under half-LSB dither at FULL rate by at
+         least a twentieth of the decimation movement — the instability
+         exists without decimation and shares its scale;
+      3. every large (> 25 %) decimated-vs-full disagreement involves a
+         degenerate fit (T30 longer than the whole signal: the EDC-plateau
+         regime from the circular filter's wrapped pre-echo).
+
+    Consequence (why bands_decimate stays opt-in): the engine must stay
+    numerically consistent with the per-file analyses modules, which keep
+    the reference's full-rate grid (rt60bands.py:392-399)."""
+    n = 1 << 17
+    sr = SR
+    t = np.arange(n) / sr
+    dur = n / sr
+    rng = np.random.default_rng(42)
+    taps = 4
+    batch = np.zeros((taps, 2, n), np.float32)
+    for i in range(taps):
+        rt60 = 0.25 + 0.12 * i
+        env = 10.0 ** (-3.0 * t / rt60)
+        x = 0.05 * rng.standard_normal((2, n)) * env
+        x[:, :512] = 0.0
+        x[:, 512] = 0.9
+        batch[i] = x.astype(np.float32)
+    lengths = np.full(taps, n, np.int32)
+    # several independent half-LSB dithers: a single draw of a chaotic
+    # max-statistic under-samples the movement scale
+    dithers = [
+        ((rng.random((taps, 2, n)) - 0.5) / 32768.0).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    base = dict(
+        band_mode=band_mode, run_stft=False, run_modal=False,
+        run_diffusion=False, run_fr=False, run_group_delay=False,
+    )
+    full = analyze_batch(jnp.asarray(batch), jnp.asarray(lengths), EngineConfig(**base))
+    dec = analyze_batch(
+        jnp.asarray(batch), jnp.asarray(lengths), EngineConfig(bands_decimate=True, **base)
+    )
+    diths = [
+        analyze_batch(jnp.asarray(batch + d), jnp.asarray(lengths), EngineConfig(**base))
+        for d in dithers
+    ]
+
+    dither_moves = []
+    dec_moves = []
+    for key in ("band_t30", "band_t20"):
+        f = np.asarray(full[f"{key}_rt60"])
+        fok = np.asarray(full[f"{key}_ok"])
+
+        d = np.asarray(dec[f"{key}_rt60"])
+        dok = np.asarray(dec[f"{key}_ok"])
+        both = fok & dok
+        sane = both & (f < dur) & (d < dur)
+        assert sane.sum() >= both.sum() // 2  # most fits are meaningful
+        rel = np.abs(d - f) / np.maximum(np.abs(f), 1e-9)
+        assert np.max(rel[sane]) < 0.25, key  # (1) bounded on sane fits
+        assert np.median(rel[sane]) < 0.005, key
+        dec_moves.append(float(np.max(rel[sane])))
+        # (3) anything larger involves a degenerate (plateau) fit
+        huge = both & (rel > 0.25)
+        assert np.all((f[huge] >= dur) | (d[huge] >= dur)), key
+
+        for dith in diths:
+            g = np.asarray(dith[f"{key}_rt60"])
+            gok = np.asarray(dith[f"{key}_ok"])
+            both_g = fok & gok
+            sane_g = both_g & (f < dur) & (g < dur)
+            rel_g = np.abs(g - f) / np.maximum(np.abs(f), 1e-9)
+            dither_moves.append(float(np.max(rel_g[sane_g])))
+
+    # (2) half-LSB input dither moves the SAME full-rate fits on a
+    # comparable scale — the movement is intrinsic, not a decimation
+    # artifact (both are noisy max-statistics, hence the loose factor)
+    assert max(dither_moves) >= 0.05 * max(dec_moves)
+
+
 @pytest.mark.parametrize("band_mode", ["three", "octave"])
 def test_engine_bands_decimate_matches_full_rate(band_mode):
     """EngineConfig(bands_decimate=True) band metrics == full-rate metrics
