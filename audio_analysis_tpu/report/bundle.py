@@ -40,6 +40,12 @@ class BundleRunSettings:
     # bundle index; after every shard finishes, one `--resume` run (no
     # shard) finds each tap complete and writes the full index from cache.
     tap_shard: Optional[str] = None
+    # When set, only these taps are (re-)rendered; every other tap is
+    # treated as cached IF its report is complete (and rendered anyway if
+    # not — safety beats skipping). The watch service passes the taps whose
+    # WAV content changed since its last successful render, so a
+    # re-recorded bundle that touched one tap redraws one tap's figures.
+    render_only_taps: Optional[tuple] = None
 
 
 def _parse_tap_shard(spec: str) -> tuple:
@@ -128,7 +134,11 @@ def run_bundle_report(
             out_dir.mkdir(parents=True, exist_ok=True)
             report_md = out_dir / f"{tap}_report.md"
 
-            if settings.resume and _report_complete(report_md):
+            unchanged = (
+                settings.render_only_taps is not None
+                and tap not in settings.render_only_taps
+            )
+            if (settings.resume or unchanged) and _report_complete(report_md):
                 tap_lines.append(f"- [{tap}]({tap}/{report_md.name}) (cached)")
                 continue
 

@@ -53,14 +53,21 @@ class WatchSettings:
     plot_processes: int = 0
 
 
+def _tap_signatures(bundle: Path, meta: dict) -> Dict[str, str]:
+    """Per-tap content identity ((size, mtime) of the tap WAV) — the unit of
+    figure-render reuse: an unchanged tap's figures need no re-render."""
+    sigs: Dict[str, str] = {}
+    for tap in meta.get("taps", []):
+        st = (bundle / "taps" / f"{tap}.wav").stat()
+        sigs[tap] = f"{st.st_size}:{st.st_mtime_ns}"
+    return sigs
+
+
 def _bundle_signature(bundle: Path, meta: dict) -> str:
     """Identity of a bundle's CONTENT: meta mtime + per-tap (size, mtime).
     A re-recorded bundle (same dir, new audio) gets a new signature."""
     parts = [str(int(bundle.joinpath("meta.json").stat().st_mtime_ns))]
-    for tap in meta.get("taps", []):
-        p = bundle / "taps" / f"{tap}.wav"
-        st = p.stat()
-        parts.append(f"{tap}:{st.st_size}:{st.st_mtime_ns}")
+    parts.extend(f"{tap}:{sig}" for tap, sig in _tap_signatures(bundle, meta).items())
     return "|".join(parts)
 
 
@@ -100,7 +107,12 @@ def _save_state(root: Path, state: dict) -> None:
 
 
 def _append_event_log(
-    root: Path, bundle: Path, meta: dict, index: Path, flagged_changes: int
+    root: Path,
+    bundle: Path,
+    meta: dict,
+    index: Path,
+    flagged_changes: int,
+    plot_counts: Optional[dict] = None,
 ) -> None:
     """One JSON line per analysed bundle in <root>/watch_log.jsonl —
     service observability (what ran, how long, what moved) without parsing
@@ -112,6 +124,8 @@ def _append_event_log(
         "index": str(index),
         "flagged_changes": flagged_changes,
     }
+    if plot_counts is not None:
+        event.update(plot_counts)
     try:
         timings = json.loads((index.parent / "bundle_metrics.json").read_text())
         event["load_seconds"] = timings.get("load_seconds")
@@ -146,13 +160,21 @@ def watch_bundle_runs(
     state = _load_state(root)
     analyzed: Dict[str, str] = dict(state.get("analyzed", {}))
     failures: Dict[str, dict] = dict(state.get("failures", {}))
+    # per-tap WAV signatures of each bundle's last SUCCESSFUL figure render
+    # — the figure-skip cache for re-recorded bundles
+    plot_sigs: Dict[str, dict] = dict(state.get("plot_sigs", {}))
     last_metrics: Optional[str] = state.get("last_metrics")
     written: List[Path] = []
 
     def save_state() -> None:
         _save_state(
             root,
-            {"analyzed": analyzed, "failures": failures, "last_metrics": last_metrics},
+            {
+                "analyzed": analyzed,
+                "failures": failures,
+                "last_metrics": last_metrics,
+                "plot_sigs": plot_sigs,
+            },
         )
 
     log(f"watching {root} (poll {settings.poll_seconds:g}s; Ctrl-C to stop)")
@@ -209,6 +231,7 @@ def watch_bundle_runs(
                 )
                 save_state()
                 continue
+            plot_counts = None
             if settings.plots:
                 # figures land in a sibling subdir so the engine index (and
                 # its metrics json / diff section) stays the service output
@@ -218,17 +241,33 @@ def watch_bundle_runs(
                 )
                 from audio_analysis_tpu.report.report import ReportSettings
 
+                # Figure-skip for re-recorded bundles: a previous successful
+                # render recorded per-tap WAV signatures; only taps whose
+                # audio changed re-render (the figures are pure functions of
+                # the tap's samples + settings). Unchanged taps are reused
+                # iff their PNG set is complete (bundle.render_only_taps).
+                try:
+                    tap_sigs = _tap_signatures(bundle, meta)
+                except OSError:
+                    continue  # recorder replaced a tap mid-poll; retry
+                prev_plot_sigs = plot_sigs.get(str(bundle))
+                render_only = (
+                    None
+                    if prev_plot_sigs is None
+                    else tuple(
+                        t for t, s in tap_sigs.items() if prev_plot_sigs.get(t) != s
+                    )
+                )
                 try:
                     run_bundle_report(
                         bundle,
                         BundleRunSettings(
                             reports_subdir=f"{settings.engine.reports_subdir}_plots",
-                            # resume only recovers a PARTIAL first render; a
-                            # re-recorded bundle (signature change on an
-                            # already-analysed path) must re-render, or the
-                            # old recording's figures sit next to the new
-                            # metrics
+                            # resume only recovers a PARTIAL first render;
+                            # re-recorded bundles are handled per tap via
+                            # render_only_taps instead of a full re-render
                             resume=str(bundle) not in analyzed,
+                            render_only_taps=render_only,
                             report_settings=ReportSettings(
                                 plot_processes=settings.plot_processes,
                                 common_use_mono_downmix_for_stereo=(
@@ -237,6 +276,12 @@ def watch_bundle_runs(
                             ),
                         ),
                     )
+                    plot_sigs[str(bundle)] = tap_sigs
+                    rendered = len(tap_sigs) if render_only is None else len(render_only)
+                    plot_counts = {
+                        "figures_rendered_taps": rendered,
+                        "figures_skipped_taps": len(tap_sigs) - rendered,
+                    }
                 except Exception as exc:  # noqa: BLE001 — same retry budget
                     # as an engine failure: the bundle stays un-analysed so a
                     # transient plot failure is retried next poll (the engine
@@ -267,7 +312,7 @@ def watch_bundle_runs(
             num_changes = flagged_changes_in_index(index)
             suffix = f"  ({num_changes} changes vs previous)" if num_changes else ""
             log(f"analysed {bundle.name}: {len(meta.get('taps', []))} taps -> {index}{suffix}")
-            _append_event_log(root, bundle, meta, index, num_changes)
+            _append_event_log(root, bundle, meta, index, num_changes, plot_counts)
             progressed = True
             if settings.max_bundles is not None and len(written) >= settings.max_bundles:
                 return written

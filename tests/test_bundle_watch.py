@@ -107,6 +107,49 @@ def test_watch_plots_renders_figures_alongside_metrics(tmp_path):
     assert decay_png.stat().st_mtime_ns > before
 
 
+def test_watch_plots_rerenders_only_changed_taps(tmp_path):
+    """Re-recording ONE tap of a bundle re-renders only that tap's figures;
+    the others are reused from disk, and watch_log.jsonl records the
+    rendered/skipped split (the iterate-loop figure-skip)."""
+    import json
+
+    from audio_analysis_tpu.io.wav import write_wav_pcm16
+
+    root = tmp_path / "runs"
+    root.mkdir()
+    bundle = root / "20260101_000000"
+    write_bundle(
+        bundle, {"tapA": _tap(0.25), "tapB": _tap(0.3, seed=8), "tapC": _tap(0.35, seed=9)}, SR
+    )
+
+    settings = _fast_settings(max_bundles=1, plots=True)
+    assert len(watch_bundle_runs(root, settings, log=lambda s: None)) == 1
+    plots_root = bundle / "reports_plots"
+    pngs = {t: plots_root / t / f"{t}_decay.png" for t in ("tapA", "tapB", "tapC")}
+    assert all(p.exists() for p in pngs.values())
+    before = {t: p.stat().st_mtime_ns for t, p in pngs.items()}
+
+    # change ONLY tapB's audio (same shape; meta.json untouched)
+    write_wav_pcm16(bundle / "taps" / "tapB.wav", _tap(0.5, seed=12), SR)
+
+    assert len(watch_bundle_runs(root, settings, log=lambda s: None)) == 1
+    after = {t: p.stat().st_mtime_ns for t, p in pngs.items()}
+    assert after["tapB"] > before["tapB"]  # the changed tap re-rendered
+    assert after["tapA"] == before["tapA"]  # the others were reused
+    assert after["tapC"] == before["tapC"]
+
+    rows = [json.loads(l) for l in (root / "watch_log.jsonl").read_text().splitlines()]
+    assert rows[-1]["figures_rendered_taps"] == 1
+    assert rows[-1]["figures_skipped_taps"] == 2
+    assert rows[-2]["figures_rendered_taps"] == 3
+    assert rows[-2]["figures_skipped_taps"] == 0
+    # the index still lists every tap (unchanged ones as cached)
+    index_text = (plots_root / "bundle_report.md").read_text()
+    for t in ("tapA", "tapB", "tapC"):
+        assert f"[{t}]" in index_text
+    assert index_text.count("(cached)") == 2
+
+
 def test_watch_retries_transient_failures_then_gives_up(tmp_path):
     """A failing bundle is retried up to max_failures_per_bundle on later
     polls (tunnel stalls are transient), then given up on; a CONTENT change
