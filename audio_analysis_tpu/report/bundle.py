@@ -127,6 +127,24 @@ def run_bundle_report(
         report_settings.overlap_plotting, report_settings.plot_processes
     )
 
+    # Template warmup rides the worker as the job(s) before the first real
+    # render: the per-kind template build (~seconds, BENCH_r03
+    # plots_per_kind first_job_seconds) overlaps the first tap's device
+    # compute instead of serialising in front of its figures. One job per
+    # pool worker warms the whole pool; submitted lazily so a fully-cached
+    # --resume run pays nothing.
+    warmup_pending = bool(report_settings.warmup_figure_templates)
+
+    def _submit_warmup() -> None:
+        from functools import partial as _partial
+
+        from audio_analysis_tpu.report.warmup import warmup_figure_templates
+
+        for _ in range(max(1, int(report_settings.plot_processes))):
+            plot_worker.submit(
+                _partial(warmup_figure_templates, report_settings), "template_warmup"
+            )
+
     try:
         for tap in tap_names:
             wav_path = taps_dir / f"{tap}.wav"
@@ -141,6 +159,10 @@ def run_bundle_report(
             if (settings.resume or unchanged) and _report_complete(report_md):
                 tap_lines.append(f"- [{tap}]({tap}/{report_md.name}) (cached)")
                 continue
+
+            if warmup_pending:
+                warmup_pending = False
+                _submit_warmup()
 
             try:
                 run_report_from_wav_file(

@@ -109,6 +109,10 @@ class ReportSettings:
     # >0: render figures on a spawn-based process pool of this many workers
     # (multi-core hosts; parallel/procpool.py). 0 = the single-thread worker.
     plot_processes: int = 0
+    # bundle runs: build every figure template on the render worker(s) as
+    # the FIRST job, concurrently with the first tap's device compute
+    # (report/warmup.py) — first-tap renders then hit warm templates
+    warmup_figure_templates: bool = True
 
     expected_sample_rate_hz: int = DEFAULT_EXPECTED_SAMPLE_RATE_HZ
 

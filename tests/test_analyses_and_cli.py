@@ -268,8 +268,11 @@ def test_bundle_runner_and_failure_isolation(tmp_path):
     timings = _json.loads((root / "reports" / "plot_timings.json").read_text())
     assert timings, "expected at least one render kind"
     for kind, row in timings.items():
-        assert kind.startswith(("render_", "plot_")), kind
+        # render_*/plot_* figure jobs + the template-warmup job that fronts
+        # the first render (report/warmup.py)
+        assert kind.startswith(("render_", "plot_", "warmup_")), kind
         assert row["jobs"] >= 1 and row["seconds"] >= 0.0
+    assert "warmup_figure_templates" in timings  # warmup rode the worker
 
     # resume skips the completed tap
     index2 = run_bundle_report(root, BundleRunSettings(report_settings=fast, resume=True))

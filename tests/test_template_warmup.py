@@ -1,0 +1,91 @@
+"""
+Figure-template warmup (report/warmup.py): the warmup report's template
+keys must structurally match a realistic tap's keys, kind by kind — a
+mismatch silently turns the warmup into wasted work (the real render
+rebuilds fresh) with no correctness symptom, so reuse is pinned here.
+"""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+import audio_analysis_tpu.plot as P
+from audio_analysis_tpu.io.wav import write_wav_pcm16
+from audio_analysis_tpu.report.report import ReportSettings, run_report_from_wav_file
+from audio_analysis_tpu.report.warmup import warmup_figure_templates
+
+# every templated figure kind the report suite renders (rt60bands draws a
+# bar chart — not templated, and cheap)
+WARMED_KINDS = {
+    "ir_full", "ir_early", "ir_tail", "decay", "frequency_response",
+    "group_delay", "diffusion", "spectrogram", "modal_cloud", "waterfall3d",
+}
+
+
+@pytest.fixture(autouse=True)
+def fresh_template_state():
+    old = P.FIGURE_TEMPLATES_ENABLED
+    P.FIGURE_TEMPLATES_ENABLED = True
+    P.clear_figure_templates()
+    P.clear_tight_bbox_cache()
+    yield
+    P.FIGURE_TEMPLATES_ENABLED = old
+    P.clear_figure_templates()
+    P.clear_tight_bbox_cache()
+
+
+def _realistic_tap_wav(tmp_path):
+    sr, n = 48_000, 32_768
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(11)
+    x = np.zeros((n, 2), np.float32)
+    env = 10.0 ** (-3.0 * t / 0.2)
+    x[64:, :] = (0.05 * rng.standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(
+        np.float32
+    )
+    x[64, :] = 0.9
+    path = tmp_path / "tap.wav"
+    write_wav_pcm16(path, x, sr)
+    return path
+
+
+def test_warmup_templates_are_reused_by_real_taps(tmp_path):
+    settings = ReportSettings()
+    warmup_figure_templates(settings)
+
+    warmed = {kind: id(entry[1]) for kind, entry in P._FIGURE_TEMPLATES.items()}
+    assert WARMED_KINDS <= set(warmed), (
+        f"warmup built {sorted(warmed)} — missing "
+        f"{sorted(WARMED_KINDS - set(warmed))}"
+    )
+
+    wav = _realistic_tap_wav(tmp_path)
+    run_report_from_wav_file(
+        wav,
+        tmp_path / "out" / "tap",
+        settings=replace(
+            settings, overlap_plotting=False, warmup_figure_templates=False
+        ),
+    )
+
+    rebuilt = [
+        kind
+        for kind in WARMED_KINDS
+        if id(P._FIGURE_TEMPLATES[kind][1]) != warmed[kind]
+    ]
+    assert not rebuilt, (
+        f"real tap rebuilt templates for {sorted(rebuilt)} — the warmup key "
+        "no longer matches the real render's key for these kinds"
+    )
+
+
+def test_warmup_never_raises(monkeypatch):
+    """Warmup is best-effort: an internal failure must be swallowed."""
+    import audio_analysis_tpu.report.warmup as W
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic failure")
+
+    monkeypatch.setattr(W, "tempfile", None)  # breaks mkdtemp -> AttributeError
+    warmup_figure_templates(ReportSettings())  # must not raise
