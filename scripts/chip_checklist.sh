@@ -10,6 +10,13 @@
 #   2. modal variants bench  -> decide modal_trim_bins / modal_fft_n1 defaults
 #   3. bench.py              -> refresh the headline JSON + phase splits
 #   4. full TPU test suite   -> the slowest step, last
+#
+# Side effect worth knowing: every step compiles through the persistent
+# XLA cache (~/.cache/aa_tpu_xla, enabled at audio_analysis_tpu.ops
+# import), so one checklist pass PRE-SEEDS the cache for all standard
+# shapes — the next bench.py / bundle run in this container starts with
+# compile ~= cache-load (~3 s/program) instead of 20-40 s/program. The
+# bench records this state as xla_cache_entries_before/new_entries.
 set -u
 cd "$(dirname "$0")/.."
 
