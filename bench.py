@@ -37,6 +37,11 @@ CHUNK = 16
 # best so one stall can't corrupt the recorded number.
 REPEATS = 3
 
+# (chunks, lengths) of the device bench workload, reused by
+# bench_sharded_overhead so the shard_map comparison runs on the exact
+# same resident data
+_BENCH_DEVICE_STATE = None
+
 
 def _bench_config():
     from audio_analysis_tpu.engine import EngineConfig
@@ -106,6 +111,8 @@ def bench_device() -> dict:
     # force materialisation of the generated data before timing
     for ch in chunks:
         _ = float(ch[0, 0, 300])
+    global _BENCH_DEVICE_STATE
+    _BENCH_DEVICE_STATE = (chunks, lengths)
 
     spec = _flat_spec((CHUNK, 2, NUM_SAMPLES), (CHUNK,), config)
 
@@ -136,6 +143,79 @@ def bench_device() -> dict:
         "device_seconds": elapsed,
         "upload_inclusive_seconds_per_chunk": upload_elapsed,
         "full_engine_seconds": full_engine_seconds,
+    }
+
+
+def bench_sharded_overhead(chunks, lengths) -> dict:
+    """
+    shard_map overhead measured on a 1-device REAL-TPU mesh at the bundle
+    shape: the <1 s v5e-8 north star rests on jit(shard_map(analyze_batch))
+    costing ~= the plain engine per shard (engine/mesh.py). Both sides run
+    the FULL metric config with the sharded path's kernel substitutions
+    (no Pallas EDC — shard_map swaps it out), so the delta is the shard_map
+    program structure alone, not kernel selection. Data starts on device for
+    both (the bundle pipeline keeps audio resident); one packed fetch each.
+    """
+    import dataclasses
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_analysis_tpu.engine import EngineConfig, make_mesh
+    from audio_analysis_tpu.engine.batch import (
+        analyze_batch_flat,
+        _flat_spec,
+        fetch_packed,
+    )
+    from audio_analysis_tpu.engine.mesh import _pack_values, sharded_step
+
+    half = CHUNK // 2
+    halves = []
+    for ch in chunks:
+        halves.append(ch[:half])
+        halves.append(ch[half:])
+    lengths_half = lengths[:half]
+
+    config = dataclasses.replace(EngineConfig(), use_pallas_edc=False)
+    spec = _flat_spec((half, 2, NUM_SAMPLES), (half,), config)
+
+    # plain path, identical kernels
+    _ = np.asarray(analyze_batch_flat(halves[0], lengths_half, config))  # compile
+    plain = float("inf")
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        flats = [analyze_batch_flat(h, lengths_half, config) for h in halves]
+        results = fetch_packed(flats, spec)
+        plain = min(plain, time.perf_counter() - start)
+        assert all(np.all(r["t30_ok"]) for r in results)
+
+    # sharded path on a 1-device TPU mesh, data pre-placed on the sharding
+    mesh = make_mesh(num_devices=1)
+    data_sh = NamedSharding(mesh, P("taps", None, None))
+    len_sh = NamedSharding(mesh, P("taps"))
+    halves_sharded = [jax.device_put(h, data_sh) for h in halves]
+    lengths_sharded = jax.device_put(lengths_half, len_sh)
+    step = sharded_step(mesh, config)
+
+    def sharded_flat(samples):
+        out = step(samples, lengths_sharded)
+        return _pack_values(tuple(out[k] for k in sorted(out)))
+
+    _ = np.asarray(sharded_flat(halves_sharded[0]))  # compile
+    sharded = float("inf")
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        flats = [sharded_flat(h) for h in halves_sharded]
+        results = fetch_packed(flats, spec)
+        sharded = min(sharded, time.perf_counter() - start)
+        assert all(np.all(r["t30_ok"]) for r in results)
+
+    return {
+        "plain_seconds": round(plain, 4),
+        "sharded_seconds": round(sharded, 4),
+        "overhead_pct": round(100.0 * (sharded / plain - 1.0), 2),
+        "mesh_devices": 1,
+        "backend": jax.devices()[0].platform,
     }
 
 
@@ -225,11 +305,23 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
 
     import json as json_mod
 
+    import os
+
+    def _touch_taps() -> None:
+        """Invalidate the device-resident audio cache the way the iterate
+        loop does: the user re-renders audio, every tap's mtime changes."""
+        for wav in (Path(bundle_root) / "taps").glob("*.wav"):
+            os.utime(wav)
+
     timings = {}
-    for label in ("cold", "warm"):
+    # warm_changed = the iterate-loop number: compile warm, but the audio
+    # CHANGED since the last run (cache miss -> decode + upload + compute)
+    for label in ("cold", "warm", "warm_changed"):
         runs = 1 if label == "cold" else REPEATS - 1
         best = float("inf")
         for _ in range(max(1, runs)):
+            if label == "warm_changed":
+                _touch_taps()
             shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
             start = time.perf_counter()
             index = run_bundle_report_engine(bundle_root)
@@ -237,8 +329,8 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
             assert index.exists()
             if elapsed < best:
                 best = elapsed
-                # per-phase split of the best warm run (engine_report
-                # instruments probe/decode-wait/h2d/fetch/markdown/json)
+                # per-phase split of the best run (engine_report instruments
+                # probe/decode-wait/h2d/fetch/markdown/json)
                 metrics = json_mod.loads(
                     (Path(bundle_root) / "reports" / "bundle_metrics.json").read_text()
                 )
@@ -247,11 +339,14 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
     return timings
 
 
-def bench_bundle_plots_end_to_end(bundle_root: str) -> tuple:
+def bench_bundle_plots_end_to_end(
+    bundle_root: str, plot_processes: int, runs: int = 2
+) -> tuple:
     """
     The full plot-based report path (matplotlib rendering overlapped with
-    device compute on the plot-worker thread) over PLOT_TAPS taps.
-    Returns (elapsed_seconds, plot_processes, plot_timings_by_kind).
+    device compute on the plot-worker thread, or fanned over a process pool
+    when plot_processes > 0) over PLOT_TAPS taps.
+    Returns (elapsed_seconds, plot_timings_by_kind).
     """
     import json as json_mod
     import shutil
@@ -269,25 +364,20 @@ def bench_bundle_plots_end_to_end(bundle_root: str) -> tuple:
     for tap in meta["taps"]:
         (sub / "taps" / f"{tap}.wav").symlink_to(src / "taps" / f"{tap}.wav")
 
-    import os
-
     from audio_analysis_tpu.report.bundle import BundleRunSettings
     from audio_analysis_tpu.report.report import ReportSettings
 
-    # multi-core hosts fan figure rendering over a process pool; a single
-    # core keeps the overlap thread (the pool would only add IPC cost)
-    cores = os.cpu_count() or 1
-    plot_processes = min(4, cores) if cores > 1 else 0
     settings = BundleRunSettings(
         report_settings=ReportSettings(plot_processes=plot_processes)
     )
 
-    # best of 2: the dev relay's sustained-transfer stalls (10-150x swings)
-    # would otherwise corrupt the recorded number, like the other timed
-    # sections this repeats
+    # best of `runs`: the dev relay's sustained-transfer stalls and the
+    # shared host's CPU-speed swings (the cpu_seconds_per_ir control has
+    # measured 0.40-0.55 s for identical work) would otherwise corrupt the
+    # recorded number, like the other timed sections this repeats
     elapsed = float("inf")
     plot_timings = {}
-    for _ in range(2):
+    for _ in range(max(1, runs)):
         shutil.rmtree(sub / "reports", ignore_errors=True)
         start = time.perf_counter()
         index = run_bundle_report(sub, settings)
@@ -302,7 +392,21 @@ def bench_bundle_plots_end_to_end(bundle_root: str) -> tuple:
             plot_timings = (
                 json_mod.loads(timings_path.read_text()) if timings_path.exists() else {}
             )
-    return elapsed, plot_processes, plot_timings
+    return elapsed, plot_timings
+
+
+def _xla_cache_entries() -> int:
+    """Entry count of the persistent compilation cache (-1 if unavailable):
+    recorded before/after so the bench states whether its 'cold' number ran
+    against a warm cache (new entries == 0) or paid real compiles."""
+    import os
+    from pathlib import Path
+
+    cache_dir = Path(os.path.expanduser("~/.cache/aa_tpu_xla"))
+    try:
+        return sum(1 for p in cache_dir.iterdir() if p.is_file())
+    except OSError:
+        return -1
 
 
 _MESH_SCALING_WORKER = r"""
@@ -457,6 +561,8 @@ def main() -> None:
         )
         raise SystemExit(1)
 
+    cache_entries_before = _xla_cache_entries()
+
     device = bench_device()
     device_irs_per_sec = BATCH / device["device_seconds"]
 
@@ -465,10 +571,33 @@ def main() -> None:
 
     bundle_root = _bench_bundle_on_disk()
     e2e = bench_bundle_engine_end_to_end(bundle_root)
-    plots_seconds, plot_processes, plot_timings = bench_bundle_plots_end_to_end(bundle_root)
-    mesh_scaling = bench_mesh_scaling()
 
     import os
+
+    # the plot path, with and without the render process pool — the pool
+    # overlaps figure rasterisation with the main process's relay waits
+    # even on one core; the headline is whichever config wins
+    cores = os.cpu_count() or 1
+    variant_procs = sorted({min(4, cores) if cores > 1 else 0, 2})
+    plots_variants = {}
+    for procs in variant_procs:
+        seconds, timings = bench_bundle_plots_end_to_end(
+            bundle_root, procs, runs=3 if procs == variant_procs[0] else 2
+        )
+        plots_variants[str(procs)] = {
+            "seconds": round(seconds, 4),
+            "seconds_per_tap": round(seconds / PLOT_TAPS, 4),
+            "timings": timings,
+        }
+    plot_processes = min(
+        (int(k) for k in plots_variants),
+        key=lambda k: plots_variants[str(k)]["seconds"],
+    )
+    plots_seconds = plots_variants[str(plot_processes)]["seconds"]
+    plot_timings = plots_variants[str(plot_processes)]["timings"]
+
+    sharded_overhead = bench_sharded_overhead(*_BENCH_DEVICE_STATE)
+    mesh_scaling = bench_mesh_scaling()
 
     import jax
 
@@ -485,11 +614,24 @@ def main() -> None:
                     device["upload_inclusive_seconds_per_chunk"], 4
                 ),
                 # end-to-end on a real on-disk 64-tap bundle: decode ->
-                # engine -> markdown (no plots); warm = steady-state rerun
+                # engine -> markdown (no plots); warm = unchanged-bundle
+                # rerun (device-resident audio); warm_changed = the
+                # iterate-loop headline: compile warm but every tap's audio
+                # re-rendered (decode + upload + compute + markdown)
                 "end_to_end_seconds": round(e2e["cold"], 4),
                 "end_to_end_warm_seconds": round(e2e["warm"], 4),
-                # best-warm-run split: probe/decode-wait/h2d/fetch/markdown
+                "end_to_end_warm_changed_seconds": round(e2e["warm_changed"], 4),
+                # best-run splits: probe/decode-wait/h2d/fetch/markdown
+                "end_to_end_cold_phases": e2e.get("cold_phases", {}),
                 "end_to_end_warm_phases": e2e.get("warm_phases", {}),
+                "end_to_end_warm_changed_phases": e2e.get("warm_changed_phases", {}),
+                # shard_map-vs-plain on a 1-device REAL TPU mesh at the
+                # bundle shape (the missing link of the v5e-8 projection)
+                "sharded_vs_plain_overhead": sharded_overhead,
+                # persistent XLA cache state: cold ran against a warm cache
+                # iff new_entries == 0
+                "xla_cache_entries_before": cache_entries_before,
+                "xla_cache_new_entries": _xla_cache_entries() - cache_entries_before,
                 # sharded engine wall-clock on a virtual CPU mesh at
                 # n_devices 1/2/4/8 (weak scaling, 2 taps/device; see
                 # bench_mesh_scaling docstring for the 1-core caveat)
@@ -504,6 +646,12 @@ def main() -> None:
                 # per-render-kind attribution of the recorded plot run
                 # (reports/plot_timings.json of the best run)
                 "plots_per_kind": plot_timings,
+                # every measured plot config (seconds_per_tap per
+                # plot_processes value) — the procpool row included
+                "plots_variants": {
+                    k: {kk: vv for kk, vv in v.items() if kk != "timings"}
+                    for k, v in plots_variants.items()
+                },
                 # single-threaded float64 NumPy oracle, 5-tap average
                 "cpu_seconds_per_ir": round(cpu_seconds_per_ir, 3),
                 "cpu_baseline": "numpy_f64_single_thread_5tap_avg",
