@@ -132,8 +132,12 @@ def run_bundle_report(
     # plots_per_kind first_job_seconds) overlaps the first tap's device
     # compute instead of serialising in front of its figures. One job per
     # pool worker warms the whole pool; submitted lazily so a fully-cached
-    # --resume run pays nothing.
-    warmup_pending = bool(report_settings.warmup_figure_templates)
+    # --resume run pays nothing. With a SYNCHRONOUS worker (no overlap
+    # thread, no pool) there is nothing to overlap with — the warmup would
+    # run serially in front of the first tap for zero gain, so it is off.
+    warmup_pending = bool(report_settings.warmup_figure_templates) and (
+        report_settings.overlap_plotting or int(report_settings.plot_processes) > 0
+    )
 
     def _submit_warmup() -> None:
         from functools import partial as _partial

@@ -9,7 +9,7 @@ alone (BENCH_r03 plots_per_kind first_job_seconds) — runs on the render
 thread while the first tap's device compute is still in flight, instead of
 serialising in front of it.
 
-Mechanism: render a full report over a TINY synthetic stereo IR (16,384
+Mechanism: render a full report over a TINY synthetic stereo IR (24,576
 samples at the real sample rate) with the same ReportSettings the bundle
 will use, figures written to a throwaway directory. Using the real
 analyses + render path (on the CPU backend — no accelerator contention,

@@ -161,8 +161,17 @@ def watch_bundle_runs(
     analyzed: Dict[str, str] = dict(state.get("analyzed", {}))
     failures: Dict[str, dict] = dict(state.get("failures", {}))
     # per-tap WAV signatures of each bundle's last SUCCESSFUL figure render
-    # — the figure-skip cache for re-recorded bundles
-    plot_sigs: Dict[str, dict] = dict(state.get("plot_sigs", {}))
+    # — the figure-skip cache for re-recorded bundles. Figures are pure
+    # functions of (tap samples, render settings), so the cache is keyed on
+    # the settings too: a restart with different flags (e.g. --mono) must
+    # not reuse the old settings' figures as "(cached)".
+    # only content-affecting knobs (plot_processes changes where figures
+    # render, not what they contain)
+    plot_settings_fp = repr(("mono", settings.engine.use_mono_downmix_for_stereo))
+    if state.get("plot_sigs_settings") == plot_settings_fp:
+        plot_sigs: Dict[str, dict] = dict(state.get("plot_sigs", {}))
+    else:
+        plot_sigs = {}
     last_metrics: Optional[str] = state.get("last_metrics")
     written: List[Path] = []
 
@@ -174,6 +183,7 @@ def watch_bundle_runs(
                 "failures": failures,
                 "last_metrics": last_metrics,
                 "plot_sigs": plot_sigs,
+                "plot_sigs_settings": plot_settings_fp,
             },
         )
 
@@ -258,6 +268,16 @@ def watch_bundle_runs(
                         t for t, s in tap_sigs.items() if prev_plot_sigs.get(t) != s
                     )
                 )
+                # which unchanged taps are actually reusable (complete PNG
+                # set) — the runner re-renders incomplete ones regardless,
+                # and the event-log counts must reflect that
+                from audio_analysis_tpu.report.bundle import _report_complete
+
+                plots_root = bundle / f"{settings.engine.reports_subdir}_plots"
+                complete_before = {
+                    t: _report_complete(plots_root / t / f"{t}_report.md")
+                    for t in tap_sigs
+                }
                 try:
                     run_bundle_report(
                         bundle,
@@ -277,7 +297,17 @@ def watch_bundle_runs(
                         ),
                     )
                     plot_sigs[str(bundle)] = tap_sigs
-                    rendered = len(tap_sigs) if render_only is None else len(render_only)
+                    # exact counts: an unchanged tap whose PNG set was
+                    # incomplete re-renders anyway (the runner's safety
+                    # path), so "skipped" is what was genuinely reused
+                    if render_only is None:
+                        rendered = len(tap_sigs)
+                    else:
+                        rendered = sum(
+                            1
+                            for t in tap_sigs
+                            if t in render_only or not complete_before.get(t, False)
+                        )
                     plot_counts = {
                         "figures_rendered_taps": rendered,
                         "figures_skipped_taps": len(tap_sigs) - rendered,

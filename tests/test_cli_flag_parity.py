@@ -182,7 +182,7 @@ def _assert_tree_parity(ref: dict, ours: dict, label: str):
 
 def test_reference_surface_is_complete(analyse_dumps, gen_dumps):
     """Guard the guard: the reference dump really contains the full surface
-    (13 analyse subcommands, 11 gen subcommands) — an import regression in
+    (14 analyse subcommands, 11 gen subcommands) — an import regression in
     the dump harness must not silently pass an empty tree."""
     ref_analyse, _ = analyse_dumps
     ref_gen, _ = gen_dumps

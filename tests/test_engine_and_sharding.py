@@ -153,7 +153,17 @@ def test_sharded_engine_bands_decimate_matches_unsharded(tap_batch):
     assert factors != (1,) * len(factors), "fixture too short to exercise decimation"
 
     sharded = analyze_batch_sharded(mesh, batch, lengths, config)
-    local = analyze_bundle(batch, lengths, config, chunk_taps=8)
+    # reference on the SAME backend as the mesh: this test pins shard_map
+    # STRUCTURE (per-shard tracing of the static decimation groups), and
+    # decimated narrowband fits amplify cross-backend f32 accumulation
+    # differences beyond any fixed tolerance (the round-4 sensitivity
+    # finding, docs/PERFORMANCE.md) — a TPU-vs-CPU comparison here flaked
+    # at 0.125% vs rtol 1e-3 with both sides individually correct
+    import dataclasses
+
+    local_config = dataclasses.replace(config, use_pallas_edc=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        local = analyze_bundle(batch, lengths, local_config, chunk_taps=8)
     np.testing.assert_allclose(
         np.asarray(sharded["band_t30_rt60"]), local["band_t30_rt60"], rtol=1e-3
     )

@@ -84,8 +84,5 @@ def test_warmup_never_raises(monkeypatch):
     """Warmup is best-effort: an internal failure must be swallowed."""
     import audio_analysis_tpu.report.warmup as W
 
-    def boom(*a, **k):
-        raise RuntimeError("synthetic failure")
-
     monkeypatch.setattr(W, "tempfile", None)  # breaks mkdtemp -> AttributeError
     warmup_figure_templates(ReportSettings())  # must not raise
