@@ -35,6 +35,15 @@ def warmup_figure_templates(report_settings) -> None:
     """Render one tiny throwaway report inline on the calling (render)
     thread, populating the figure-template cache for every enabled kind."""
     try:
+        from audio_analysis_tpu import plot as _plot
+
+        if _plot._FIGURE_TEMPLATES:
+            # this process already holds live templates (an earlier bundle
+            # run in the same service/bench process built them) — a repeat
+            # warmup would re-run its tiny report for nothing. If settings
+            # changed, the real renders rebuild lazily exactly as before.
+            return
+
         import jax
         import numpy as np
 

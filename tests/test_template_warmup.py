@@ -86,3 +86,28 @@ def test_warmup_never_raises(monkeypatch):
 
     monkeypatch.setattr(W, "tempfile", None)  # breaks mkdtemp -> AttributeError
     warmup_figure_templates(ReportSettings())  # must not raise
+
+
+def test_warmup_is_noop_when_templates_live(monkeypatch):
+    """A process with live templates (a previous bundle run) must not pay
+    the tiny-report cost again — the iterate loop calls run_bundle_report
+    per re-recorded bundle in one long-lived service process."""
+    import audio_analysis_tpu.report.warmup as W
+
+    import matplotlib.pyplot as plt
+
+    P._FIGURE_TEMPLATES["sentinel"] = ((), plt.figure(), {})
+    ran = {"n": 0}
+
+    def must_not_run(*a, **k):
+        ran["n"] += 1
+        raise AssertionError("warmup re-ran with live templates")
+
+    try:
+        monkeypatch.setattr(W.tempfile, "mkdtemp", must_not_run)
+        warmup_figure_templates(ReportSettings())
+        assert ran["n"] == 0
+    finally:
+        entry = P._FIGURE_TEMPLATES.pop("sentinel", None)
+        if entry is not None:
+            plt.close(entry[1])
