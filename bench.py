@@ -605,6 +605,11 @@ def main() -> None:
 
     mesh_scaling = bench_mesh_scaling()
 
+    # the shared host core's speed swings ~1.4x between windows; a second
+    # CPU-control sample at the END bounds how much it drifted across this
+    # run's timed sections (compare with cpu_seconds_per_ir)
+    cpu_seconds_per_ir_end = bench_cpu_reference(taps=2)
+
     import jax
 
     print(
@@ -658,8 +663,11 @@ def main() -> None:
                     k: {kk: vv for kk, vv in v.items() if kk != "timings"}
                     for k, v in plots_variants.items()
                 },
-                # single-threaded float64 NumPy oracle, 5-tap average
+                # single-threaded float64 NumPy oracle, 5-tap average;
+                # the _end sample (2-tap) bounds host-speed drift across
+                # the run's timed sections
                 "cpu_seconds_per_ir": round(cpu_seconds_per_ir, 3),
+                "cpu_seconds_per_ir_end": round(cpu_seconds_per_ir_end, 3),
                 "cpu_baseline": "numpy_f64_single_thread_5tap_avg",
                 "backend": jax.default_backend(),
                 "batch": BATCH,
