@@ -236,6 +236,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-processes", dest="num_processes", type=int, default=None)
     p.add_argument("--process-id", dest="process_id", type=int, default=None)
 
+    # --- batch (bundle-less: loose WAV files through the bundle tooling) ---
+    p = sub.add_parser(
+        "batch",
+        help="Analyse a set of loose WAV files as one batch: materialises a "
+             "bundle view (meta.json + tap symlinks) in --output, then runs "
+             "the bundle pipeline over it (fused engine with --no-plots).",
+    )
+    p.add_argument("--inputs", dest="input_wav_paths", type=str, nargs="+", required=True,
+                   help="WAV files to analyse (shell globs expand naturally).")
+    p.add_argument("--output", dest="bundle_root", type=str, required=True,
+                   help="Directory for the bundle view + reports (created).")
+    p.add_argument("--reports-subdir", dest="reports_subdir", type=str, default="reports")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip files whose report already exists.")
+    p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
+    p.add_argument("--no-plots", dest="no_plots", action="store_true",
+                   help="Engine fast path: text/JSON metric reports only, one "
+                        "fused device pass for the whole file set.")
+    p.add_argument("--bands", dest="band_mode", type=str, default="three",
+                   choices=["three", "octave", "third"])
+    _add_engine_config_flags(p)
+    p.add_argument("--plot-processes", dest="plot_processes", type=int, default=0)
+    p.add_argument("--compare", dest="compare_to", type=str, default=None, metavar="PREV")
+    p.add_argument("--compare-threshold", dest="compare_threshold", type=float,
+                   default=1.0, metavar="PCT")
+    p.add_argument("--fail-on-change", dest="fail_on_change", action="store_true")
+
     # --- watch ---
     p = sub.add_parser(
         "watch",
@@ -866,6 +893,15 @@ def main(argv=None) -> None:
         except KeyboardInterrupt:
             print("\nwatch stopped")
         return
+
+    if cmd == "batch":
+        # loose WAVs -> bundle view in --output, then the ordinary bundle
+        # pipeline (engine fast path, plots, --compare, --resume) runs on it
+        from audio_analysis_tpu.io.bundle import materialize_bundle_view
+
+        root = materialize_bundle_view(args.input_wav_paths, args.bundle_root)
+        print(f"Materialised bundle view: {root} ({len(args.input_wav_paths)} files)")
+        cmd = "bundle"
 
     if cmd == "bundle":
         if getattr(args, "tap_shard", None) and (

@@ -75,6 +75,91 @@ def write_bundle(
     return bundle_root
 
 
+def materialize_bundle_view(
+    wav_paths: List[str | Path],
+    bundle_root: str | Path,
+    expected_sample_rate_hz: int | None = None,
+) -> Path:
+    """
+    Turn LOOSE WAV files into a bundle view: `bundle_root/meta.json` +
+    `bundle_root/taps/<stem>.wav` symlinks to the originals (copies where
+    the filesystem refuses symlinks). Every bundle tool then works on
+    arbitrary IR collections — the fused engine (`bundle --no-plots`),
+    plot reports, `--compare`, `--resume`, `watch` (symlinks stat through
+    to the originals, so re-rendering an input re-triggers analysis).
+
+    Tap order preserves the input order; duplicate stems get `_2`, `_3`…
+    suffixes. All inputs must share one sample rate (the engine analyses
+    the batch under a single rate; pass `expected_sample_rate_hz` to
+    enforce a specific one).
+    """
+    import shutil
+
+    paths = [Path(p) for p in wav_paths]
+    if not paths:
+        raise ValueError("materialize_bundle_view: no input WAV files given")
+    for p in paths:
+        if not p.is_file():
+            raise ValueError(f"Input WAV not found: {p}")
+
+    def probe(path: Path) -> Tuple[int, int]:
+        """(frames, sample_rate) without decoding PCM where possible."""
+        if native.available():
+            frames, _ch, rate = native.read_wav_info(path)
+            return int(frames), int(rate)
+        from audio_analysis_tpu.io.wav import _read_wav_raw
+
+        rate, raw = _read_wav_raw(path)
+        return int(np.asarray(raw).shape[0]), int(rate)
+
+    frames_rates = [probe(p) for p in paths]
+    rates = {rate for _f, rate in frames_rates}
+    if len(rates) > 1:
+        raise ValueError(
+            f"Inputs mix sample rates {sorted(rates)} — the engine analyses "
+            "one batch at one rate; split the files by rate"
+        )
+    rate = rates.pop()
+    if expected_sample_rate_hz is not None and rate != int(expected_sample_rate_hz):
+        raise ValueError(
+            f"Inputs are {rate} Hz, expected {int(expected_sample_rate_hz)} Hz"
+        )
+
+    names: List[str] = []
+    used = set()
+    for p in paths:
+        name = p.stem
+        k = 2
+        while name in used:
+            name = f"{p.stem}_{k}"
+            k += 1
+        used.add(name)
+        names.append(name)
+
+    bundle_root = Path(bundle_root)
+    taps_dir = bundle_root / "taps"
+    taps_dir.mkdir(parents=True, exist_ok=True)
+    for name, src in zip(names, paths):
+        dst = taps_dir / f"{name}.wav"
+        target = src.resolve()
+        if dst.is_symlink() or dst.exists():
+            if dst.is_symlink() and dst.resolve() == target:
+                continue  # already points at this input
+            dst.unlink()
+        try:
+            dst.symlink_to(target)
+        except OSError:
+            shutil.copyfile(target, dst)
+
+    meta = {
+        "sample_rate_hz": int(rate),
+        "length_samples": int(max(f for f, _r in frames_rates)),
+        "taps": names,
+    }
+    (bundle_root / "meta.json").write_text(json.dumps(meta, indent=2) + "\n")
+    return bundle_root
+
+
 def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 

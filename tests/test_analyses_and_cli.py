@@ -416,6 +416,71 @@ def test_cli_watch_engine_kernel_flags(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
 
 
+def test_cli_batch_loose_wav_files(tmp_path, capsys):
+    """`analyse batch --inputs ...` materialises a bundle view from loose
+    WAV files (symlinked taps, input order, deduped stems) and runs the
+    fused-engine pipeline over it."""
+    import json
+
+    import numpy as np
+
+    from audio_analysis_tpu.cli import analyse_cli
+    from audio_analysis_tpu.io.wav import write_wav_pcm16
+
+    sr, n = 48_000, 1 << 14
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(5)
+
+    def ir(rt60, channels):
+        x = np.zeros((n, channels), np.float32)
+        x[16:, :] = (
+            0.05 * rng.standard_normal((n - 16, channels))
+            * 10.0 ** (-3.0 * t[: n - 16, None] / rt60)
+        ).astype(np.float32)
+        x[16, :] = 0.9
+        return x
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    w1 = tmp_path / "a" / "verb.wav"
+    w2 = tmp_path / "b" / "verb.wav"  # duplicate stem -> verb_2
+    w3 = tmp_path / "mono_ir.wav"  # mono input -> upmixed by the loaders
+    write_wav_pcm16(w1, ir(0.25, 2), sr)
+    write_wav_pcm16(w2, ir(0.4, 2), sr)
+    write_wav_pcm16(w3, ir(0.3, 1), sr)
+
+    out = tmp_path / "batch_out"
+    analyse_cli.main(
+        ["batch", "--inputs", str(w1), str(w2), str(w3),
+         "--output", str(out), "--no-plots"]
+    )
+    capsys.readouterr()
+
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["taps"] == ["verb", "verb_2", "mono_ir"]  # input order, deduped
+    assert (out / "taps" / "verb.wav").is_symlink()
+
+    metrics = json.loads((out / "reports" / "bundle_metrics.json").read_text())
+    t30 = np.asarray(metrics["metrics"]["t30_rt60"], np.float64)
+    ok = np.asarray(metrics["metrics"]["t30_ok"], bool)
+    assert t30.shape[0] == 3 and ok.all()
+    # per-file decays recovered in input order
+    assert abs(t30[0].mean() - 0.25) < 0.05
+    assert abs(t30[1].mean() - 0.4) < 0.08
+    assert abs(t30[2].mean() - 0.3) < 0.06
+    assert (out / "reports" / "verb_2" / "verb_2_report.md").exists()
+
+    # mixed sample rates are rejected up front
+    import pytest as _pytest
+
+    w4 = tmp_path / "other_rate.wav"
+    write_wav_pcm16(w4, ir(0.3, 2), 44_100)
+    from audio_analysis_tpu.io.bundle import materialize_bundle_view
+
+    with _pytest.raises(ValueError, match="sample rates"):
+        materialize_bundle_view([w1, w4], tmp_path / "bad")
+
+
 def test_cli_json_flag(tmp_path, capsys, ir_wav):
     """--json on a subcommand writes the result pytree next to the summary."""
     from audio_analysis_tpu.cli import analyse_cli
