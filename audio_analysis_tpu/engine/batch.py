@@ -654,7 +654,7 @@ def analyze_bundle_pipelined(
     channels: int = 2,
     mesh=None,
     timings: "Dict[str, float] | None" = None,
-    device_chunk_cache: "list | None" = None,
+    device_chunk_cache=None,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -668,12 +668,13 @@ def analyze_bundle_pipelined(
     chunk device_put straight onto the tap sharding; results still come
     back in one packed fetch.
 
-    `device_chunk_cache` (single-device path only): a caller-owned list.
-    When it already holds every padded device chunk for this bundle, the
-    loader is never called — re-analysing an UNCHANGED bundle (the
-    iterate-loop workflow) skips both the WAV decode and the whole
-    host->device upload. When empty, it is filled as chunks upload. The
-    caller owns invalidation (key by tap mtimes/sizes — engine_report does).
+    `device_chunk_cache` (single-device path only): an object with
+    `get(chunk_index) -> device_array | None` and `put(chunk_index, arr)`.
+    A hit skips that chunk's WAV decode AND its host->device upload, so
+    re-analysing a bundle moves only the chunks whose audio changed — the
+    unchanged-bundle rerun moves nothing, and a 1-tap iteration moves one
+    chunk. The caller owns invalidation per chunk (key by the chunk's tap
+    mtimes/sizes — engine_report._ChunkCache does).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -702,16 +703,13 @@ def analyze_bundle_pipelined(
     # engine compute — on a link where the upload is ~1/3 of warm e2e this
     # is the difference between serial and pipelined uploads. The mesh path
     # keeps host chunks (its dispatch device_puts onto the tap sharding).
-    num_chunks = -(-b // chunk)
-    cache_hit = (
-        mesh is None
-        and device_chunk_cache is not None
-        and len(device_chunk_cache) == num_chunks
-    )
+    use_cache = mesh is None and device_chunk_cache is not None
 
     def load_chunk(lo: int, hi: int):
-        if cache_hit:
-            return device_chunk_cache[lo // chunk]
+        if use_cache:
+            hit = device_chunk_cache.get(lo // chunk)
+            if hit is not None:
+                return hit
         cb = loader(lo, hi)
         take = hi - lo
         if take < chunk:
@@ -720,8 +718,8 @@ def analyze_bundle_pipelined(
         if mesh is not None:
             return cb
         cb = jnp.asarray(cb)
-        if device_chunk_cache is not None:
-            device_chunk_cache.append(cb)
+        if use_cache:
+            device_chunk_cache.put(lo // chunk, cb)
         return cb
 
     decode_wait_s = dispatch_s = 0.0

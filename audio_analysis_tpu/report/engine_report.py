@@ -281,30 +281,71 @@ def format_tap_summary(
     return "\n".join(md)
 
 
-# single-slot device-resident tap-audio cache (see
-# EngineBundleSettings.cache_device_audio)
-_DEVICE_AUDIO_CACHE: Dict = {"sig": None, "chunks": [], "complete": False}
+# single-slot (one bundle) device-resident tap-audio cache, keyed PER
+# CHUNK (see EngineBundleSettings.cache_device_audio): re-analysing a
+# bundle re-decodes and re-uploads only the chunks whose tap WAVs changed,
+# so a 1-of-N-tap iteration moves 1/num_chunks of the audio bytes instead
+# of the whole bundle.
+_DEVICE_AUDIO_CACHE: Dict = {"chunk_taps": None, "entries": {}}
 
 
-def _device_audio_chunks(bundle_root: Path, names: List[str], chunk_taps: int) -> list:
-    """The cache's chunk list for this exact bundle state, cleared (and
-    re-keyed) whenever any tap's path/mtime/size — or the chunking — has
-    changed, or the previous fill didn't complete."""
+class _ChunkCache:
+    """Per-chunk get/put view over _DEVICE_AUDIO_CACHE for ONE bundle run.
+
+    Each entry is (chunk_signature, device_array) where the signature is
+    the (path, mtime_ns, size) tuple of exactly the taps in that chunk —
+    a changed tap invalidates only its own chunk. Entries from the
+    previous run are popped as they are consulted, so a replaced chunk's
+    device buffer is released before its successor uploads (peak extra
+    device memory is one chunk, not a second bundle)."""
+
+    def __init__(self, sig_for: list, chunk_taps: int, old: Dict, new: Dict):
+        self._sig_for = sig_for
+        self._chunk = int(chunk_taps)
+        self._old = old
+        self._new = new
+        self.reused = 0
+        self.uploaded = 0
+
+    def _sig(self, idx: int):
+        lo = idx * self._chunk
+        return tuple(self._sig_for[lo : lo + self._chunk])
+
+    def get(self, idx: int):
+        ent = self._old.pop(idx, None)
+        if ent is not None and ent[0] == self._sig(idx):
+            self._new[idx] = ent
+            self.reused += 1
+            return ent[1]
+        return None
+
+    def put(self, idx: int, arr) -> None:
+        self._new[idx] = (self._sig(idx), arr)
+        self.uploaded += 1
+
+
+def _device_audio_chunks(
+    bundle_root: Path, names: List[str], chunk_taps: int
+) -> _ChunkCache:
+    """A per-chunk cache view for this bundle state. Chunks whose taps'
+    path/mtime/size are unchanged (at the same chunking) are served from
+    device memory; everything else decodes+uploads and replaces its slot."""
     import os
 
-    sig_parts = []
+    sig_for = []
     for tap in names:
         p = bundle_root / "taps" / f"{tap}.wav"
         st = os.stat(p)
-        sig_parts.append((str(p), st.st_mtime_ns, st.st_size))
-    sig = (tuple(sig_parts), int(chunk_taps))
+        sig_for.append((str(p), st.st_mtime_ns, st.st_size))
 
     cache = _DEVICE_AUDIO_CACHE
-    if cache["sig"] != sig or not cache["complete"]:
-        cache["sig"] = sig
-        cache["chunks"] = []
-    cache["complete"] = False
-    return cache["chunks"]
+    if cache["chunk_taps"] != int(chunk_taps):
+        cache["chunk_taps"] = int(chunk_taps)
+        cache["entries"] = {}
+    old = cache["entries"]
+    new: Dict = {}
+    cache["entries"] = new
+    return _ChunkCache(sig_for, chunk_taps, old, new)
 
 
 def run_bundle_report_engine(
@@ -379,7 +420,8 @@ def run_bundle_report_engine(
             timings=phases, device_chunk_cache=chunk_cache,
         )
         if chunk_cache is not None:
-            _DEVICE_AUDIO_CACHE["complete"] = True
+            phases["audio_chunks_reused"] = chunk_cache.reused
+            phases["audio_chunks_uploaded"] = chunk_cache.uploaded
     else:
         out = _analyze_possibly_sharded(batch, lengths, config, settings)
     compute_seconds = time.perf_counter() - start_compute

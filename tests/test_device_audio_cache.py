@@ -50,17 +50,22 @@ settings = EngineBundleSettings(
 def run():
     run_bundle_report_engine(bundle, settings)
     metrics = json.loads(open(f"{bundle}/reports/bundle_metrics.json").read())
-    return metrics["metrics"]["t30_rt60"]
+    return metrics["metrics"]["t30_rt60"], metrics["phases"]
 
 
-t30_first = run()
+t30_first, phases_first = run()
 decodes_first = decode_calls[0]
 assert decodes_first > 0, "first run must decode"
+# 3 taps at chunk_taps=2 -> 2 chunks, all uploaded on the cold run
+assert phases_first["audio_chunks_uploaded"] == 2, phases_first
+assert phases_first["audio_chunks_reused"] == 0, phases_first
 
-t30_second = run()
+t30_second, phases_second = run()
 decodes_second = decode_calls[0] - decodes_first
 np.testing.assert_array_equal(np.asarray(t30_first), np.asarray(t30_second))
 assert decodes_second == 0, f"cache hit must not decode (got {decodes_second})"
+assert phases_second["audio_chunks_reused"] == 2, phases_second
+assert phases_second["audio_chunks_uploaded"] == 0, phases_second
 
 # mutate one tap: different decay -> cache must invalidate and results move
 sr, n = 48_000, 16_384
@@ -74,11 +79,18 @@ time.sleep(0.05)  # ensure a distinct mtime_ns on coarse filesystems
 from audio_analysis_tpu.io.wav import write_wav_pcm16
 write_wav_pcm16(f"{bundle}/taps/tap0.wav", x, sr)
 
-t30_third = run()
-assert decode_calls[0] > decodes_first, "mutation must re-decode"
+t30_third, phases_third = run()
+decodes_third = decode_calls[0] - decodes_first
+assert decodes_third == 1, (
+    f"a 1-tap change must re-decode ONLY its own chunk (got {decodes_third})"
+)
+assert phases_third["audio_chunks_uploaded"] == 1, phases_third
+assert phases_third["audio_chunks_reused"] == 1, phases_third
 assert not np.allclose(t30_third[0], t30_second[0], rtol=1e-3), (
     t30_third[0], t30_second[0]
 )
+# the untouched taps' metrics must be bit-identical through the partial reuse
+np.testing.assert_array_equal(np.asarray(t30_third)[1:], np.asarray(t30_second)[1:])
 
 json.dump({"ok": True}, open(out_json, "w"))
 print("worker ok")
