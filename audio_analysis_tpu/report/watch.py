@@ -127,10 +127,23 @@ def _append_event_log(
     if plot_counts is not None:
         event.update(plot_counts)
     try:
+        # service RSS per analysed bundle: long-running watchers on the
+        # axon dev relay grow by roughly the bytes UPLOADED per cycle (the
+        # relay client retains upload buffers — docs/PERFORMANCE.md round-4
+        # soak investigation), so the log must make that drift visible
+        with open("/proc/self/status") as fh:
+            event["rss_mb"] = round(int(fh.read().split("VmRSS:")[1].split()[0]) / 1024, 1)
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
         timings = json.loads((index.parent / "bundle_metrics.json").read_text())
         event["load_seconds"] = timings.get("load_seconds")
         event["compute_seconds"] = timings.get("compute_seconds")
         event["bundle_median_t30"] = timings.get("bundle_median_t30")
+        phases = timings.get("phases", {})
+        if "audio_chunks_reused" in phases:
+            event["audio_chunks_reused"] = phases["audio_chunks_reused"]
+            event["audio_chunks_uploaded"] = phases["audio_chunks_uploaded"]
     except (OSError, ValueError):
         pass
     try:

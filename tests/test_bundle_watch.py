@@ -52,6 +52,9 @@ def test_watch_analyses_new_bundles_and_diffs_vs_previous(tmp_path):
     assert rows[1]["compute_seconds"] > 0
     assert 0.2 < rows[0]["bundle_median_t30"] < 0.3  # the service headline
     assert 0.3 < rows[1]["bundle_median_t30"] < 0.4
+    # long-run drift observability (the audio-chunk counters only exist on
+    # the single-device cache path; this env runs the virtual mesh)
+    assert all(r["rss_mb"] > 0 for r in rows)
 
     # nothing new: the stop callback bounds the idle loop
     polls = {"n": 0}
