@@ -33,6 +33,23 @@ from audio_analysis_tpu.report.engine_report import (
 _STATE_NAME = ".aa_watch_state.json"
 
 
+def _release_free_heap() -> None:
+    """Return freed glibc arena pages to the OS after each analysed bundle.
+
+    A resident watcher churns large short-lived host buffers every cycle
+    (WAV decode chunks, figure rasters); glibc keeps the freed pages in
+    its arenas, which reads as a slow monotonic RSS climb (~3 MB/cycle
+    measured on the 3-tap CPU soak — docs/PERFORMANCE.md round-4 soak
+    investigation). malloc_trim(0) hands the reclaimable tail back between
+    cycles at negligible cost. Best-effort: absent/odd libc is ignored."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:  # noqa: BLE001 — strictly best-effort hygiene
+        pass
+
+
 @dataclasses.dataclass(frozen=True)
 class WatchSettings:
     poll_seconds: float = 2.0
@@ -355,6 +372,7 @@ def watch_bundle_runs(
             num_changes = flagged_changes_in_index(index)
             suffix = f"  ({num_changes} changes vs previous)" if num_changes else ""
             log(f"analysed {bundle.name}: {len(meta.get('taps', []))} taps -> {index}{suffix}")
+            _release_free_heap()
             _append_event_log(root, bundle, meta, index, num_changes, plot_counts)
             progressed = True
             if settings.max_bundles is not None and len(written) >= settings.max_bundles:
