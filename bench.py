@@ -307,21 +307,26 @@ def bench_bundle_engine_end_to_end(bundle_root: str) -> dict:
 
     import os
 
-    def _touch_taps() -> None:
+    def _touch_taps(only_first: bool = False) -> None:
         """Invalidate the device-resident audio cache the way the iterate
-        loop does: the user re-renders audio, every tap's mtime changes."""
-        for wav in (Path(bundle_root) / "taps").glob("*.wav"):
+        loop does: the user re-renders audio and tap mtimes change — every
+        tap (full re-render) or just one (A/B-ing a single tap; the
+        per-chunk cache re-uploads only that tap's chunk)."""
+        for wav in sorted((Path(bundle_root) / "taps").glob("*.wav")):
             os.utime(wav)
+            if only_first:
+                return
 
     timings = {}
     # warm_changed = the iterate-loop number: compile warm, but the audio
-    # CHANGED since the last run (cache miss -> decode + upload + compute)
-    for label in ("cold", "warm", "warm_changed"):
+    # CHANGED since the last run (cache miss -> decode + upload + compute);
+    # warm_changed_1tap = a single tap changed (per-chunk cache partial hit)
+    for label in ("cold", "warm", "warm_changed", "warm_changed_1tap"):
         runs = 1 if label == "cold" else REPEATS - 1
         best = float("inf")
         for _ in range(max(1, runs)):
-            if label == "warm_changed":
-                _touch_taps()
+            if label.startswith("warm_changed"):
+                _touch_taps(only_first=label == "warm_changed_1tap")
             shutil.rmtree(Path(bundle_root) / "reports", ignore_errors=True)
             start = time.perf_counter()
             index = run_bundle_report_engine(bundle_root)
@@ -632,6 +637,14 @@ def main() -> None:
                 "end_to_end_seconds": round(e2e["cold"], 4),
                 "end_to_end_warm_seconds": round(e2e["warm"], 4),
                 "end_to_end_warm_changed_seconds": round(e2e["warm_changed"], 4),
+                # one tap re-rendered (A/B-ing a single tap): the per-chunk
+                # audio cache re-decodes + re-uploads only that tap's chunk
+                "end_to_end_warm_changed_1tap_seconds": round(
+                    e2e["warm_changed_1tap"], 4
+                ),
+                "end_to_end_warm_changed_1tap_phases": e2e.get(
+                    "warm_changed_1tap_phases", {}
+                ),
                 # best-run splits: probe/decode-wait/h2d/fetch/markdown
                 "end_to_end_cold_phases": e2e.get("cold_phases", {}),
                 "end_to_end_warm_phases": e2e.get("warm_phases", {}),
