@@ -92,6 +92,15 @@ assert not np.allclose(t30_third[0], t30_second[0], rtol=1e-3), (
 # the untouched taps' metrics must be bit-identical through the partial reuse
 np.testing.assert_array_equal(np.asarray(t30_third)[1:], np.asarray(t30_second)[1:])
 
+# a different chunking regroups taps -> the whole cache must invalidate
+settings = EngineBundleSettings(
+    config=EngineConfig(run_modal=False), chunk_taps=3, use_device_mesh="off"
+)
+t30_fourth, phases_fourth = run()
+assert phases_fourth["audio_chunks_reused"] == 0, phases_fourth
+assert phases_fourth["audio_chunks_uploaded"] == 1, phases_fourth  # 3 taps / 3
+np.testing.assert_array_equal(np.asarray(t30_fourth), np.asarray(t30_third))
+
 json.dump({"ok": True}, open(out_json, "w"))
 print("worker ok")
 """
