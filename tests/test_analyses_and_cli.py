@@ -481,6 +481,51 @@ def test_cli_batch_loose_wav_files(tmp_path, capsys):
         materialize_bundle_view([w1, w4], tmp_path / "bad")
 
 
+def test_materialize_bundle_view_edge_cases(tmp_path):
+    """View materialisation: missing/empty inputs fail up front with clear
+    errors, expected-rate enforcement works, and re-materialising over an
+    existing view re-points taps at the new sources."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from audio_analysis_tpu.io.bundle import materialize_bundle_view
+    from audio_analysis_tpu.io.wav import write_wav_pcm16
+
+    sr, n = 48_000, 4096
+    x = np.zeros((n, 2), np.float32)
+    x[16, :] = 0.9
+    w1 = tmp_path / "one.wav"
+    w2 = tmp_path / "two.wav"
+    write_wav_pcm16(w1, x, sr)
+    write_wav_pcm16(w2, x * 0.5, sr)
+
+    with pytest.raises(ValueError, match="no input WAV"):
+        materialize_bundle_view([], tmp_path / "v0")
+    with pytest.raises(ValueError, match="not found"):
+        materialize_bundle_view([tmp_path / "missing.wav"], tmp_path / "v0")
+    with pytest.raises(ValueError, match="expected 44100"):
+        materialize_bundle_view([w1], tmp_path / "v0", expected_sample_rate_hz=44_100)
+
+    root = materialize_bundle_view([w1], tmp_path / "view")
+    assert json.loads((root / "meta.json").read_text())["taps"] == ["one"]
+
+    # idempotent re-materialise (same target): the symlink survives
+    materialize_bundle_view([w1], tmp_path / "view")
+    assert (root / "taps" / "one.wav").resolve() == w1.resolve()
+
+    # re-materialise with a DIFFERENT source under the same tap name:
+    # the stale link must be re-pointed, not silently kept
+    (tmp_path / "sub").mkdir()
+    w1b = tmp_path / "sub" / "one.wav"
+    write_wav_pcm16(w1b, x * 0.25, sr)
+    materialize_bundle_view([w1b, w2], tmp_path / "view")
+    meta = json.loads((root / "meta.json").read_text())
+    assert meta["taps"] == ["one", "two"]
+    assert (root / "taps" / "one.wav").resolve() == w1b.resolve()
+
+
 def test_cli_json_flag(tmp_path, capsys, ir_wav):
     """--json on a subcommand writes the result pytree next to the summary."""
     from audio_analysis_tpu.cli import analyse_cli
