@@ -249,7 +249,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory for the bundle view + reports (created).")
     p.add_argument("--reports-subdir", dest="reports_subdir", type=str, default="reports")
     p.add_argument("--resume", action="store_true",
-                   help="Skip files whose report already exists.")
+                   help="Skip files whose PLOT report already exists "
+                        "(plot path only; the fused --no-plots engine "
+                        "re-analyses the whole batch in one pass).")
     p.add_argument("--mono", dest="use_mono_downmix", action="store_true")
     p.add_argument("--no-plots", dest="no_plots", action="store_true",
                    help="Engine fast path: text/JSON metric reports only, one "
@@ -894,16 +896,10 @@ def main(argv=None) -> None:
             print("\nwatch stopped")
         return
 
-    if cmd == "batch":
-        # loose WAVs -> bundle view in --output, then the ordinary bundle
-        # pipeline (engine fast path, plots, --compare, --resume) runs on it
-        from audio_analysis_tpu.io.bundle import materialize_bundle_view
-
-        root = materialize_bundle_view(args.input_wav_paths, args.bundle_root)
-        print(f"Materialised bundle view: {root} ({len(args.input_wav_paths)} files)")
-        cmd = "bundle"
-
-    if cmd == "bundle":
+    if cmd in ("batch", "bundle"):
+        # argument validation runs BEFORE any side effect: `batch`
+        # materialises its bundle view into --output (overwriting a stale
+        # meta.json there), which must not happen for a rejected command
         if getattr(args, "tap_shard", None) and (
             bool(getattr(args, "no_plots", False)) or bool(getattr(args, "multi_host", False))
         ):
@@ -922,6 +918,26 @@ def main(argv=None) -> None:
                 "--multi-host (the metrics source is the engine's "
                 "bundle_metrics.json)"
             )
+        if bool(getattr(args, "resume", False)) and bool(getattr(args, "no_plots", False)):
+            # the engine fast path has no per-file skip (it re-analyses the
+            # whole batch in one fused pass — seconds); pretending to honor
+            # --resume there would be a silent lie
+            raise SystemExit(
+                "--resume skips taps with complete PLOT reports; it cannot "
+                "combine with --no-plots (the fused engine always re-analyses "
+                "the whole batch - it is the fast path already)"
+            )
+
+    if cmd == "batch":
+        # loose WAVs -> bundle view in --output, then the ordinary bundle
+        # pipeline (engine fast path, plots, --compare, --resume) runs on it
+        from audio_analysis_tpu.io.bundle import materialize_bundle_view
+
+        root = materialize_bundle_view(args.input_wav_paths, args.bundle_root)
+        print(f"Materialised bundle view: {root} ({len(args.input_wav_paths)} files)")
+        cmd = "bundle"
+
+    if cmd == "bundle":
         if bool(getattr(args, "multi_host", False)):
             from dataclasses import replace as _replace
 

@@ -107,8 +107,14 @@ def materialize_bundle_view(
         if native.available():
             frames, _ch, rate = native.read_wav_info(path)
             return int(frames), int(rate)
-        from audio_analysis_tpu.io.wav import _read_wav_raw
+        from audio_analysis_tpu.io.wav import _read_wav_raw, wav_header_info
 
+        info = wav_header_info(path)
+        if info is not None:
+            frames, _ch, rate = info
+            return int(frames), int(rate)
+        # unparseable header: let the real decoder produce its error (or
+        # succeed on an exotic-but-valid file the header walk rejected)
         rate, raw = _read_wav_raw(path)
         return int(np.asarray(raw).shape[0]), int(rate)
 
@@ -150,6 +156,15 @@ def materialize_bundle_view(
             dst.symlink_to(target)
         except OSError:
             shutil.copyfile(target, dst)
+
+    # prune taps from a previous materialisation with a different input
+    # set — a stale taps/<x>.wav that meta.json no longer lists would read
+    # as a phantom tap to anything globbing the directory (and copy-mode
+    # views would pile up full-size orphans)
+    keep = {f"{name}.wav" for name in names}
+    for leftover in taps_dir.glob("*.wav"):
+        if leftover.name not in keep:
+            leftover.unlink()
 
     meta = {
         "sample_rate_hz": int(rate),

@@ -286,7 +286,7 @@ def format_tap_summary(
 # bundle re-decodes and re-uploads only the chunks whose tap WAVs changed,
 # so a 1-of-N-tap iteration moves 1/num_chunks of the audio bytes instead
 # of the whole bundle.
-_DEVICE_AUDIO_CACHE: Dict = {"chunk_taps": None, "entries": {}}
+_DEVICE_AUDIO_CACHE: Dict = {"shape_key": None, "entries": {}}
 
 
 class _ChunkCache:
@@ -325,11 +325,17 @@ class _ChunkCache:
 
 
 def _device_audio_chunks(
-    bundle_root: Path, names: List[str], chunk_taps: int
+    bundle_root: Path, names: List[str], chunk_taps: int, n_max: int
 ) -> _ChunkCache:
     """A per-chunk cache view for this bundle state. Chunks whose taps'
-    path/mtime/size are unchanged (at the same chunking) are served from
-    device memory; everything else decodes+uploads and replaces its slot."""
+    path/mtime/size are unchanged (at the same chunking AND padded batch
+    length) are served from device memory; everything else decodes+uploads
+    and replaces its slot.
+
+    `n_max` is part of the invalidation key: a re-record that grows the
+    bundle's longest tap changes every chunk's padded shape (and the
+    full-signal FFT grid downstream), so an unchanged-looking chunk cached
+    at the old n_max must NOT be reused."""
     import os
 
     sig_for = []
@@ -339,8 +345,9 @@ def _device_audio_chunks(
         sig_for.append((str(p), st.st_mtime_ns, st.st_size))
 
     cache = _DEVICE_AUDIO_CACHE
-    if cache["chunk_taps"] != int(chunk_taps):
-        cache["chunk_taps"] = int(chunk_taps)
+    shape_key = (int(chunk_taps), int(n_max))
+    if cache["shape_key"] != shape_key:
+        cache["shape_key"] = shape_key
         cache["entries"] = {}
     old = cache["entries"]
     new: Dict = {}
@@ -414,7 +421,9 @@ def run_bundle_report_engine(
             mesh = make_mesh()
         chunk_cache = None
         if settings.cache_device_audio and mesh is None:
-            chunk_cache = _device_audio_chunks(bundle_root, names, settings.chunk_taps)
+            chunk_cache = _device_audio_chunks(
+                bundle_root, names, settings.chunk_taps, n_max
+            )
         out = analyze_bundle_pipelined(
             loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh,
             timings=phases, device_chunk_cache=chunk_cache,

@@ -31,17 +31,24 @@ from dataclasses import replace
 from pathlib import Path
 
 
+# set once a warmup report has completed in this process — the skip
+# condition for repeat bundle runs (a watch service re-paid ~3 s per
+# bundle otherwise). Deliberately NOT inferred from _FIGURE_TEMPLATES
+# being non-empty: a prior single-file report leaves only ITS kinds'
+# templates live, and skipping then would push the remaining kinds'
+# builds back in front of the first real tap.
+_WARMUP_DONE = False
+
+
 def warmup_figure_templates(report_settings) -> None:
     """Render one tiny throwaway report inline on the calling (render)
     thread, populating the figure-template cache for every enabled kind."""
+    global _WARMUP_DONE
     try:
-        from audio_analysis_tpu import plot as _plot
-
-        if _plot._FIGURE_TEMPLATES:
-            # this process already holds live templates (an earlier bundle
-            # run in the same service/bench process built them) — a repeat
-            # warmup would re-run its tiny report for nothing. If settings
-            # changed, the real renders rebuild lazily exactly as before.
+        if _WARMUP_DONE:
+            # a full warmup already ran in this process (later bundles in
+            # the same service re-use its templates). If settings changed,
+            # the real renders rebuild lazily exactly as before.
             return
 
         import jax
@@ -82,6 +89,7 @@ def warmup_figure_templates(report_settings) -> None:
             write_wav_pcm16(wav, x, sr)
             with jax.default_device(jax.devices("cpu")[0]):
                 run_report_from_wav_file(wav, tmp / "out" / "warmup", settings=inline)
+            _WARMUP_DONE = True
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception:  # noqa: BLE001 — warmup is strictly best-effort

@@ -525,6 +525,19 @@ def test_materialize_bundle_view_edge_cases(tmp_path):
     assert meta["taps"] == ["one", "two"]
     assert (root / "taps" / "one.wav").resolve() == w1b.resolve()
 
+    # shrinking the input set prunes stale taps (no phantom taps/*.wav)
+    materialize_bundle_view([w2], tmp_path / "view")
+    assert sorted(p.name for p in (root / "taps").glob("*.wav")) == ["two.wav"]
+
+    # the header-only probe agrees with the decoders (frames, channels, rate)
+    from audio_analysis_tpu.io.wav import wav_header_info
+
+    assert wav_header_info(w1) == (n, 2, sr)
+    assert wav_header_info(tmp_path / "missing.wav") is None
+    bogus = tmp_path / "bogus.wav"
+    bogus.write_bytes(b"RIFFxxxxWAVE" + b"\x00" * 4)
+    assert wav_header_info(bogus) is None
+
 
 def test_cli_json_flag(tmp_path, capsys, ir_wav):
     """--json on a subcommand writes the result pytree next to the summary."""

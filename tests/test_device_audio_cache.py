@@ -101,6 +101,27 @@ assert phases_fourth["audio_chunks_reused"] == 0, phases_fourth
 assert phases_fourth["audio_chunks_uploaded"] == 1, phases_fourth  # 3 taps / 3
 np.testing.assert_array_equal(np.asarray(t30_fourth), np.asarray(t30_third))
 
+# growing ONE tap changes the padded batch length (n_max) and therefore
+# every chunk's shape + the full-signal FFT grid: chunks that look
+# unchanged by (path, mtime, size) must NOT be served at the stale shape
+settings = EngineBundleSettings(
+    config=EngineConfig(run_modal=False), chunk_taps=2, use_device_mesh="off"
+)
+run()  # repopulate at chunk_taps=2 / current n_max
+n_long = n + 8192
+x_long = np.zeros((n_long, 2), np.float32)
+x_long[64:, :] = (
+    0.05
+    * np.random.default_rng(7).standard_normal((n_long - 64, 2))
+    * 10.0 ** (-3.0 * (np.arange(n_long - 64) / sr)[:, None] / 0.4)
+).astype(np.float32)
+x_long[64, :] = 0.9
+time.sleep(0.05)
+write_wav_pcm16(f"{bundle}/taps/tap0.wav", x_long, sr)
+_t30_fifth, phases_fifth = run()
+assert phases_fifth["audio_chunks_reused"] == 0, phases_fifth
+assert phases_fifth["audio_chunks_uploaded"] == 2, phases_fifth
+
 json.dump({"ok": True}, open(out_json, "w"))
 print("worker ok")
 """

@@ -25,12 +25,17 @@ WARMED_KINDS = {
 
 @pytest.fixture(autouse=True)
 def fresh_template_state():
+    import audio_analysis_tpu.report.warmup as W
+
     old = P.FIGURE_TEMPLATES_ENABLED
+    old_done = W._WARMUP_DONE
     P.FIGURE_TEMPLATES_ENABLED = True
+    W._WARMUP_DONE = False  # an earlier bundle test may have completed one
     P.clear_figure_templates()
     P.clear_tight_bbox_cache()
     yield
     P.FIGURE_TEMPLATES_ENABLED = old
+    W._WARMUP_DONE = old_done
     P.clear_figure_templates()
     P.clear_tight_bbox_cache()
 
@@ -88,25 +93,36 @@ def test_warmup_never_raises(monkeypatch):
     warmup_figure_templates(ReportSettings())  # must not raise
 
 
-def test_warmup_is_noop_when_templates_live(monkeypatch):
-    """A process with live templates (a previous bundle run) must not pay
-    the tiny-report cost again — the iterate loop calls run_bundle_report
-    per re-recorded bundle in one long-lived service process."""
+def test_warmup_is_noop_after_a_completed_warmup(monkeypatch):
+    """A process whose warmup already COMPLETED (a previous bundle run)
+    must not pay the tiny-report cost again — the iterate loop calls
+    run_bundle_report per re-recorded bundle in one long-lived service
+    process. A merely NON-EMPTY template dict (e.g. a prior single-file
+    report built one kind's template) must NOT suppress the warmup: the
+    other kinds would then pay their builds in front of the first tap."""
     import audio_analysis_tpu.report.warmup as W
 
     import matplotlib.pyplot as plt
 
-    P._FIGURE_TEMPLATES["sentinel"] = ((), plt.figure(), {})
     ran = {"n": 0}
 
-    def must_not_run(*a, **k):
+    def count_and_fail(*a, **k):
         ran["n"] += 1
-        raise AssertionError("warmup re-ran with live templates")
+        raise RuntimeError("stop before the report")  # swallowed (best-effort)
 
+    monkeypatch.setattr(W.tempfile, "mkdtemp", count_and_fail)
+
+    # partial templates alone do not skip
+    P._FIGURE_TEMPLATES["sentinel"] = ((), plt.figure(), {})
     try:
-        monkeypatch.setattr(W.tempfile, "mkdtemp", must_not_run)
+        monkeypatch.setattr(W, "_WARMUP_DONE", False)
         warmup_figure_templates(ReportSettings())
-        assert ran["n"] == 0
+        assert ran["n"] == 1, "partial templates must not suppress warmup"
+
+        # a completed warmup does skip
+        monkeypatch.setattr(W, "_WARMUP_DONE", True)
+        warmup_figure_templates(ReportSettings())
+        assert ran["n"] == 1, "warmup re-ran after a completed warmup"
     finally:
         entry = P._FIGURE_TEMPLATES.pop("sentinel", None)
         if entry is not None:
