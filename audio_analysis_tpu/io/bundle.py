@@ -143,6 +143,20 @@ def materialize_bundle_view(
         names.append(name)
 
     bundle_root = Path(bundle_root)
+    # never overwrite a REAL bundle: a recorder output dir mistakenly given
+    # as --output would otherwise have its meta.json replaced and (below)
+    # its recordings pruned. Views mark themselves in meta.json.
+    meta_path = bundle_root / "meta.json"
+    if meta_path.is_file():
+        try:
+            existing = json.loads(meta_path.read_text())
+        except (OSError, ValueError):
+            existing = None
+        if not (isinstance(existing, dict) and existing.get("view")):
+            raise ValueError(
+                f"{bundle_root} already holds a bundle that is not a batch "
+                "view - refusing to overwrite it; choose an empty --output"
+            )
     taps_dir = bundle_root / "taps"
     taps_dir.mkdir(parents=True, exist_ok=True)
     for name, src in zip(names, paths):
@@ -170,6 +184,9 @@ def materialize_bundle_view(
         "sample_rate_hz": int(rate),
         "length_samples": int(max(f for f, _r in frames_rates)),
         "taps": names,
+        # marks this bundle as a materialised VIEW over external WAVs —
+        # the overwrite guard above only ever replaces marked views
+        "view": True,
     }
     (bundle_root / "meta.json").write_text(json.dumps(meta, indent=2) + "\n")
     return bundle_root

@@ -529,6 +529,16 @@ def test_materialize_bundle_view_edge_cases(tmp_path):
     materialize_bundle_view([w2], tmp_path / "view")
     assert sorted(p.name for p in (root / "taps").glob("*.wav")) == ["two.wav"]
 
+    # a REAL bundle (no view marker) is never overwritten or pruned
+    real = tmp_path / "real_bundle"
+    (real / "taps").mkdir(parents=True)
+    (real / "meta.json").write_text('{"taps": ["precious"]}')
+    (real / "taps" / "precious.wav").write_bytes(b"not really wav")
+    with pytest.raises(ValueError, match="not a batch view"):
+        materialize_bundle_view([w1], real)
+    assert (real / "taps" / "precious.wav").exists()
+    assert json.loads((real / "meta.json").read_text()) == {"taps": ["precious"]}
+
     # the header-only probe agrees with the decoders (frames, channels, rate)
     from audio_analysis_tpu.io.wav import wav_header_info
 
