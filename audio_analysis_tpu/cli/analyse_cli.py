@@ -933,7 +933,10 @@ def main(argv=None) -> None:
         # pipeline (engine fast path, plots, --compare, --resume) runs on it
         from audio_analysis_tpu.io.bundle import materialize_bundle_view
 
-        root = materialize_bundle_view(args.input_wav_paths, args.bundle_root)
+        try:
+            root = materialize_bundle_view(args.input_wav_paths, args.bundle_root)
+        except ValueError as exc:  # bad inputs / refusing a real bundle
+            raise SystemExit(str(exc)) from None
         print(f"Materialised bundle view: {root} ({len(args.input_wav_paths)} files)")
         cmd = "bundle"
 
