@@ -117,6 +117,35 @@ def available() -> bool:
     return _load() is not None
 
 
+def ensure_built(timeout_s: float = 180.0) -> bool:
+    """Best-effort: build the native library (`make -C cpp`) if it is not
+    loadable yet, then retry the load. Returns available().
+
+    Perf entry points (bench.py, chip_checklist) call this so a fresh
+    checkout measures the native decode path instead of silently falling
+    back to the ~10x slower scipy reader. Never raises: when the toolchain
+    or Makefile is missing the normal fallback story applies."""
+    global _lib, _load_attempted
+    if available() or os.environ.get("AA_AUDIOIO_LIB"):
+        return available()
+    makefile = Path(__file__).resolve().parents[2] / "cpp" / "Makefile"
+    if not makefile.exists():
+        return False
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(makefile.parent)],
+            capture_output=True,
+            timeout=timeout_s,
+            check=True,
+        )
+    except Exception:
+        return False
+    _lib, _load_attempted = None, False  # retry the candidate scan
+    return available()
+
+
 def read_wav_info(path: str | Path) -> Tuple[int, int, int]:
     """Return (frames, channels, sample_rate_hz) without decoding samples."""
     lib = _load()

@@ -551,6 +551,13 @@ def _device_reachable(
 
 
 def main() -> None:
+    # a fresh checkout has no cpp/build/libaudioio.so — build it so the
+    # bundle benches measure the native parallel decode path, not the
+    # scipy fallback
+    from audio_analysis_tpu.io import native as _native
+
+    _native.ensure_built()
+
     if not _device_reachable():
         print(
             json.dumps(

@@ -20,6 +20,10 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# fresh checkouts have no native decode library — every step below would
+# silently measure the scipy fallback otherwise
+make -C cpp
+
 step() {
     echo
     echo "=== [$(date -u +%H:%M:%S)] $1 ==="
