@@ -125,6 +125,10 @@ def _add_engine_config_flags(p: argparse.ArgumentParser) -> None:
                    help="Trim the modal STFT at the last log-bin-weighted rfft bin "
                         "(EngineConfig.modal_trim_bins). --no-modal-trim-bins restores "
                         "round-2 bit-compatible modal output.")
+    p.add_argument("--prefetch-chunks", dest="prefetch_chunks", type=int, default=None,
+                   help="Audio chunks decoded + uploaded ahead of the one the engine "
+                        "is consuming (EngineBundleSettings.prefetch_chunks, default 2; "
+                        "1 = fully serialized pipeline).")
 
 
 def _engine_config_overrides(args: argparse.Namespace) -> dict:
@@ -135,6 +139,16 @@ def _engine_config_overrides(args: argparse.Namespace) -> dict:
         value = getattr(args, name, None)
         if value is not None:
             overrides[name] = bool(value)
+    return overrides
+
+
+def _bundle_settings_overrides(args: argparse.Namespace) -> dict:
+    """kwargs for EngineBundleSettings(...) from the shared engine-path
+    flags (None = keep the dataclass default)."""
+    overrides = {}
+    value = getattr(args, "prefetch_chunks", None)
+    if value is not None:
+        overrides["prefetch_chunks"] = max(1, int(value))
     return overrides
 
 
@@ -883,6 +897,7 @@ def main(argv=None) -> None:
                 use_mono_downmix_for_stereo=bool(args.use_mono_downmix),
                 config=_replace(EngineConfig(), band_mode=str(args.band_mode),
                                 **_engine_config_overrides(args)),
+                **_bundle_settings_overrides(args),
             ),
             compare_to_previous=not bool(args.no_compare),
             compare_threshold_pct=float(args.compare_threshold),
@@ -1007,6 +1022,7 @@ def main(argv=None) -> None:
                         band_mode=str(getattr(args, "band_mode", "three")),
                         **_engine_config_overrides(args),
                     ),
+                    **_bundle_settings_overrides(args),
                 ),
             )
             print(f"Wrote bundle report index: {index}")

@@ -655,6 +655,7 @@ def analyze_bundle_pipelined(
     mesh=None,
     timings: "Dict[str, float] | None" = None,
     device_chunk_cache=None,
+    prefetch_chunks: int = 2,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -667,6 +668,15 @@ def analyze_bundle_pipelined(
     DEVICE, dispatched via shard_map (engine.mesh) with the decoded host
     chunk device_put straight onto the tap sharding; results still come
     back in one packed fetch.
+
+    `prefetch_chunks` is how many chunks decode + upload ahead of the one
+    the engine is consuming (>= 1). The dev relay overlaps CONCURRENT
+    host->device transfers far better than a single serialized stream
+    (pipelined chunk uploads land 256 MB in ~4 s vs ~11 s one-at-a-time),
+    so depth 2 keeps a second chunk's upload on the wire while the worker
+    that finished chunk k's upload decodes chunk k+2. Results are still
+    consumed strictly in order; peak extra host+device memory is
+    `prefetch_chunks` padded chunks.
 
     `device_chunk_cache` (single-device path only): an object with
     `get(chunk_index) -> device_array | None` and `put(chunk_index, arr)`.
@@ -725,15 +735,23 @@ def analyze_bundle_pipelined(
     decode_wait_s = dispatch_s = 0.0
     flats = []
     takes = []
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(load_chunk, 0, min(b, chunk))
-        for lo in range(0, b, chunk):
+    prefetch = max(1, int(prefetch_chunks))
+    starts = list(range(0, b, chunk))
+    with ThreadPoolExecutor(max_workers=prefetch) as ex:
+        futs = {
+            i: ex.submit(load_chunk, starts[i], min(b, starts[i] + chunk))
+            for i in range(min(prefetch, len(starts)))
+        }
+        for i, lo in enumerate(starts):
             hi = min(b, lo + chunk)
             t0 = _time.perf_counter()
-            cb = fut.result()
+            cb = futs.pop(i).result()
             decode_wait_s += _time.perf_counter() - t0
-            if hi < b:
-                fut = ex.submit(load_chunk, hi, min(b, hi + chunk))
+            nxt = i + prefetch
+            if nxt < len(starts):
+                futs[nxt] = ex.submit(
+                    load_chunk, starts[nxt], min(b, starts[nxt] + chunk)
+                )
             if spec is None:
                 spec = _flat_spec((chunk, channels, n_max), (chunk,), config)
             take = hi - lo

@@ -34,6 +34,11 @@ class EngineBundleSettings:
     # intermediates are the HBM high-water mark, and smaller chunks overlap
     # uploads with compute at finer grain.
     chunk_taps: int = 8
+    # Chunks decoded + uploaded ahead of the one the engine consumes. The
+    # dev relay overlaps concurrent uploads far better than one serialized
+    # stream, so depth 2 hides most of the changed-audio upload wall under
+    # compute (see analyze_bundle_pipelined).
+    prefetch_chunks: int = 2
     # "auto": shard the tap batch over all local devices when more than one
     # is visible (shard_map over the "taps" mesh — the v5e-8 path);
     # "off": single-device chunked engine.
@@ -427,6 +432,7 @@ def run_bundle_report_engine(
         out = analyze_bundle_pipelined(
             loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh,
             timings=phases, device_chunk_cache=chunk_cache,
+            prefetch_chunks=settings.prefetch_chunks,
         )
         if chunk_cache is not None:
             phases["audio_chunks_reused"] = chunk_cache.reused

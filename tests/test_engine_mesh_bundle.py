@@ -120,10 +120,15 @@ assert n_max == batch.shape[-1], (n_max, batch.shape)
 assert np.array_equal(lengths, lengths2)
 assert list(names) == list(names2)
 
-pipe = analyze_bundle_pipelined(loader, lengths2, n_max, cfg, chunk_taps=2)
-assert sorted(pipe) == sorted(ref)
-for k in ref:
-    np.testing.assert_array_equal(pipe[k], ref[k], err_msg=k)
+# every prefetch depth (1 = the serialized pipeline, 2 = default, 4 > the
+# 3-chunk count) must consume chunks strictly in order -> bit-identical
+for depth in (1, 2, 4):
+    pipe = analyze_bundle_pipelined(
+        loader, lengths2, n_max, cfg, chunk_taps=2, prefetch_chunks=depth
+    )
+    assert sorted(pipe) == sorted(ref)
+    for k in ref:
+        np.testing.assert_array_equal(pipe[k], ref[k], err_msg=f"{k} depth={depth}")
 print("worker ok")
 """
 
