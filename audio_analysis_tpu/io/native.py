@@ -22,10 +22,15 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-_LIB_CANDIDATES = [
-    Path(__file__).resolve().parents[2] / "cpp" / "build" / "libaudioio.so",
-    Path(__file__).resolve().parents[2] / "cpp" / "libaudioio.so",
-]
+def _lib_candidates() -> List[Path]:
+    here = Path(__file__).resolve()
+    # pip-installed builds place the C-ABI extension inside the package
+    # (setup.py: audio_analysis_tpu/_audioio*.so — loaded via ctypes, the
+    # interpreter-tag suffix is irrelevant); repo checkouts use cpp/build.
+    return sorted(here.parents[1].glob("_audioio*.so")) + [
+        here.parents[2] / "cpp" / "build" / "libaudioio.so",
+        here.parents[2] / "cpp" / "libaudioio.so",
+    ]
 
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
@@ -53,7 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _configure(lib)
         _lib = lib
         return _lib
-    for candidate in _LIB_CANDIDATES:
+    for candidate in _lib_candidates():
         if candidate.exists():
             try:
                 lib = ctypes.CDLL(str(candidate))
