@@ -140,6 +140,14 @@ class EngineConfig:
     # is weakest). Full-signal FFTs (bands/FR/deconvolve) stay on XLA,
     # which wins at 2^20. Outputs agree to ~1e-6 dB (Precision.HIGHEST).
     stft_fft_impl: str = "mx"
+    # Matmul precision for the mx frame-FFT + diffusion-correlation stages:
+    # "highest" = 6 bf16 MXU passes (~true f32), "high" = 3, "default" = 1.
+    # Chip-measured at engine shapes the pass count barely moves the wall
+    # (the stage matmuls are MXU-latency bound, like the Pallas-STFT parity
+    # result): "high" −1.3 %, "default" −7.9 % but modal fits move at rel
+    # ~1.5 — so the accurate default stands. Table + don't-re-open note:
+    # docs/PERFORMANCE.md "Round-4 mx-FFT matmul precision investigation".
+    stft_fft_precision: str = "highest"
 
     # 0.5*(L+R) downmix ON DEVICE before analysis (io.py:89-92 policy) —
     # lets the mono path keep the raw int16 host->device transfer
@@ -418,6 +426,7 @@ def analyze_batch(
                 True,
                 stft_floor_lin,
                 config.stft_fft_impl,
+                fft_precision=config.stft_fft_precision,
             )
             return st.num_frames, jnp.max(st.mag, axis=(-2, -1))
 
@@ -453,6 +462,7 @@ def analyze_batch(
                 config.stft_fft_impl,
                 k_out,
                 config.modal_fft_n1,
+                config.stft_fft_precision,
             )
             # bin means in LINEAR magnitude (one matmul), dB once at the end
             binned = jax.lax.dot_general(
@@ -517,6 +527,7 @@ def analyze_batch(
             config.echo_density_threshold_rms,
             True,
             config.stft_fft_impl,
+            config.stft_fft_precision,
         )
         out["diff_median_autocorr"] = jnp.nanmedian(series.max_abs_autocorr, axis=-1)
         out["diff_median_echo_density"] = jnp.nanmedian(series.echo_density, axis=-1)
@@ -536,7 +547,7 @@ def analyze_batch(
             r_al = trim.shift_to(samples[:, -1, :], start, lengths)
             stereo = dops.stereo_diffusion_metrics(
                 l_al.samples, r_al.samples, l_al.length, win, hop, max_lag,
-                config.stft_fft_impl,
+                config.stft_fft_impl, config.stft_fft_precision,
             )
             out["diff_median_corr0"] = jnp.nanmedian(stereo.corr0, axis=-1)
             out["diff_median_iacc"] = jnp.nanmedian(stereo.iacc_max, axis=-1)

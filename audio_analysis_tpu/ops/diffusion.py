@@ -53,7 +53,8 @@ def _centered(frames: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("win", "hop", "max_lag", "sample_rate_hz",
-                                   "threshold_rms", "normalise_to_gaussian", "fft_impl"))
+                                   "threshold_rms", "normalise_to_gaussian",
+                                   "fft_impl", "fft_precision"))
 def diffusion_metrics(
     x: jnp.ndarray,
     length: jnp.ndarray,
@@ -64,6 +65,7 @@ def diffusion_metrics(
     threshold_rms: float = 1.0,
     normalise_to_gaussian: bool = True,
     fft_impl: str = "xla",
+    fft_precision: "str | None" = None,
 ) -> DiffusionSeries:
     """Windowed max|autocorr| and echo density for (..., N) aligned signals."""
     frames, frame_valid = _frames_and_validity(x, length, win, hop)
@@ -77,9 +79,9 @@ def diffusion_metrics(
         # real, so one (F, lags) matmul replaces the full n_fft irfft)
         from audio_analysis_tpu.ops.mxfft import irfft_mx_at, rfft_mx
 
-        spec = rfft_mx(x0, n_fft)
+        spec = rfft_mx(x0, n_fft, precision=fft_precision)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        acorr = irfft_mx_at(power, n_fft, np.arange(max_lag + 1))
+        acorr = irfft_mx_at(power, n_fft, np.arange(max_lag + 1), precision=fft_precision)
     else:
         spec = jnp.fft.rfft(x0, n=n_fft, axis=-1)
         acorr = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)
@@ -116,7 +118,8 @@ def diffusion_metrics(
     )
 
 
-@partial(jax.jit, static_argnames=("win", "hop", "max_lag", "fft_impl"))
+@partial(jax.jit, static_argnames=("win", "hop", "max_lag", "fft_impl",
+                                   "fft_precision"))
 def stereo_diffusion_metrics(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -125,6 +128,7 @@ def stereo_diffusion_metrics(
     hop: int,
     max_lag: int,
     fft_impl: str = "xla",
+    fft_precision: "str | None" = None,
 ) -> StereoDiffusionSeries:
     """corr0 + IACC max over +-lags for aligned stereo pairs (..., N)."""
     lf, frame_valid = _frames_and_validity(left, length, win, hop)
@@ -146,11 +150,13 @@ def stereo_diffusion_metrics(
         # used (two synthesis matmuls instead of the full n_fft irfft)
         from audio_analysis_tpu.ops.mxfft import irfft_mx_at, rfft_mx
 
-        fx = rfft_mx(x0, n_fft)
-        fy = rfft_mx(y0, n_fft)
+        fx = rfft_mx(x0, n_fft, precision=fft_precision)
+        fy = rfft_mx(y0, n_fft, precision=fft_precision)
         z = jnp.conj(fx) * fy
-        xc_pos = irfft_mx_at(z, n_fft, np.arange(max_lag + 1))
-        xc_neg = irfft_mx_at(z, n_fft, n_fft - np.arange(1, max_lag + 1))
+        xc_pos = irfft_mx_at(z, n_fft, np.arange(max_lag + 1), precision=fft_precision)
+        xc_neg = irfft_mx_at(
+            z, n_fft, n_fft - np.arange(1, max_lag + 1), precision=fft_precision
+        )
     else:
         fx = jnp.fft.rfft(x0, n=n_fft, axis=-1)
         fy = jnp.fft.rfft(y0, n=n_fft, axis=-1)

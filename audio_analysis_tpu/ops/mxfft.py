@@ -43,6 +43,24 @@ import numpy as np
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
+# On TPU, f32 matmul precision selects the number of bf16 MXU passes:
+# DEFAULT = 1 (bf16 inputs), HIGH = 3 (bf16x3 splitting), HIGHEST = 6
+# (~true f32). Exposed as EngineConfig.stft_fft_precision; chip-measured
+# at engine shapes the pass count is NOT the bottleneck (the stage matmuls
+# are MXU-latency bound) — see docs/PERFORMANCE.md "Round-4 mx-FFT matmul
+# precision investigation" before expecting a win from lowering it.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _resolve_precision(precision: "str | None") -> jax.lax.Precision:
+    if precision is None:
+        return _PRECISION
+    return _PRECISIONS[precision]
+
 
 def _split(n: int) -> tuple[int, int]:
     """Pick N1*N2 = n with both factors as close as possible (powers of 2)."""
@@ -89,6 +107,7 @@ def rfft_mx(
     *,
     k_out: int | None = None,
     n1: int | None = None,
+    precision: "str | None" = None,
 ) -> jnp.ndarray:
     """
     MXU rfft over the last axis: (..., N) float32 -> (..., K) complex64,
@@ -119,11 +138,12 @@ def rfft_mx(
     # stage-2 DFT restricted to the rfft half: d = 0 .. ceil(k_out / n1)
     d_max = (k_out + n1 - 1) // n1  # d indices 0..d_max-1 cover all k < n1*d_max
 
+    prec = _resolve_precision(precision)
     z = x.reshape(x.shape[:-1] + (n1, n2)).astype(jnp.float32)
 
     # stage 1: real input @ complex DFT -> two real matmuls (over axis a)
-    yr = jnp.einsum("ca,...ab->...cb", jnp.asarray(f1r), z, precision=_PRECISION)
-    yi = jnp.einsum("ca,...ab->...cb", jnp.asarray(f1i), z, precision=_PRECISION)
+    yr = jnp.einsum("ca,...ab->...cb", jnp.asarray(f1r), z, precision=prec)
+    yi = jnp.einsum("ca,...ab->...cb", jnp.asarray(f1i), z, precision=prec)
 
     # twiddle (elementwise complex multiply, kept in split real/imag)
     twr_j, twi_j = jnp.asarray(twr), jnp.asarray(twi)
@@ -133,12 +153,12 @@ def rfft_mx(
     # stage 2: complex @ complex over axis b -> four real matmuls
     f2r, f2i = jnp.asarray(f2_full.real[:, :d_max]), jnp.asarray(f2_full.imag[:, :d_max])
     xr = (
-        jnp.einsum("...cb,bd->...cd", ypr, f2r, precision=_PRECISION)
-        - jnp.einsum("...cb,bd->...cd", ypi, f2i, precision=_PRECISION)
+        jnp.einsum("...cb,bd->...cd", ypr, f2r, precision=prec)
+        - jnp.einsum("...cb,bd->...cd", ypi, f2i, precision=prec)
     )
     xi = (
-        jnp.einsum("...cb,bd->...cd", ypr, f2i, precision=_PRECISION)
-        + jnp.einsum("...cb,bd->...cd", ypi, f2r, precision=_PRECISION)
+        jnp.einsum("...cb,bd->...cd", ypr, f2i, precision=prec)
+        + jnp.einsum("...cb,bd->...cd", ypi, f2r, precision=prec)
     )
 
     # X[k] = X2[c, d] with k = n1*d + c  ->  transpose (c,d)->(d,c), ravel
@@ -160,7 +180,9 @@ def _rfft_mx_jit(x, n):
     return rfft_mx(x, n)
 
 
-def irfft_mx_at(spec: jnp.ndarray, n: int, out_indices) -> jnp.ndarray:
+def irfft_mx_at(
+    spec: jnp.ndarray, n: int, out_indices, *, precision: "str | None" = None
+) -> jnp.ndarray:
     """
     irfft evaluated at selected output samples as ONE dense synthesis
     matmul: (..., N//2+1) complex (or real, e.g. a power spectrum) ->
@@ -183,16 +205,17 @@ def irfft_mx_at(spec: jnp.ndarray, n: int, out_indices) -> jnp.ndarray:
     w[0] = 1.0 / n
     if n % 2 == 0:
         w[-1] = 1.0 / n
+    prec = _resolve_precision(precision)
     cos_m = jnp.asarray((np.cos(ang) * w).astype(np.float32))
     if jnp.iscomplexobj(spec):
         sin_m = jnp.asarray((np.sin(ang) * w).astype(np.float32))
         out = (
-            jnp.einsum("...f,fm->...m", jnp.real(spec), cos_m, precision=_PRECISION)
-            - jnp.einsum("...f,fm->...m", jnp.imag(spec), sin_m, precision=_PRECISION)
+            jnp.einsum("...f,fm->...m", jnp.real(spec), cos_m, precision=prec)
+            - jnp.einsum("...f,fm->...m", jnp.imag(spec), sin_m, precision=prec)
         )
     else:
         out = jnp.einsum(
-            "...f,fm->...m", spec.astype(jnp.float32), cos_m, precision=_PRECISION
+            "...f,fm->...m", spec.astype(jnp.float32), cos_m, precision=prec
         )
     return out.astype(jnp.float32)
 

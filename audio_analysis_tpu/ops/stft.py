@@ -79,6 +79,7 @@ def _frame_rfft(
     fft_impl: str,
     k_out: int | None = None,
     fft_n1: int | None = None,
+    fft_precision: "str | None" = None,
 ) -> jnp.ndarray:
     """rfft over the last axis; "mx" = MXU-factored matmul FFT (ops/mxfft.py,
     ~1.4x XLA's VPU FFT on batched 4096-point frames), "xla" = jnp.fft.
@@ -92,7 +93,7 @@ def _frame_rfft(
     if fft_impl == "mx" and n >= 2 and (n & (n - 1)) == 0:
         from audio_analysis_tpu.ops.mxfft import rfft_mx
 
-        return rfft_mx(frames, k_out=k_out, n1=fft_n1)
+        return rfft_mx(frames, k_out=k_out, n1=fft_n1, precision=fft_precision)
     spec = jnp.fft.rfft(frames, axis=-1)
     return spec if k_out is None else spec[..., :k_out]
 
@@ -105,6 +106,7 @@ def _linear_magnitude(
     fft_impl: str,
     k_out: int | None = None,
     fft_n1: int | None = None,
+    fft_precision: "str | None" = None,
 ) -> jnp.ndarray:
     """Un-floored |STFT| via the selected implementation. "pallas" uses the
     fused VMEM kernel when the default backend is TPU and the shape
@@ -120,13 +122,16 @@ def _linear_magnitude(
         (n_fft,), dtype=jnp.float32
     )
     frames = frame_signal(x, n_fft, hop) * window
-    return jnp.abs(_frame_rfft(frames, fft_impl, k_out, fft_n1)).astype(jnp.float32)
+    return jnp.abs(
+        _frame_rfft(frames, fft_impl, k_out, fft_n1, fft_precision)
+    ).astype(jnp.float32)
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl", "k_out", "fft_n1"
+        "n_fft", "hop", "use_hann_window", "floor_lin", "fft_impl", "k_out",
+        "fft_n1", "fft_precision",
     ),
 )
 def stft_magnitude(
@@ -139,6 +144,7 @@ def stft_magnitude(
     fft_impl: str = "xla",
     k_out: int | None = None,
     fft_n1: int | None = None,
+    fft_precision: "str | None" = None,
 ) -> StftLinearResult:
     """
     Linear-magnitude STFT: |rfft(window * frame)| floored at `floor_lin`,
@@ -149,7 +155,9 @@ def stft_magnitude(
     bins (consumers with an f_max cut skip the work above it).
     """
     mag = jnp.maximum(
-        _linear_magnitude(x, n_fft, hop, use_hann_window, fft_impl, k_out, fft_n1),
+        _linear_magnitude(
+            x, n_fft, hop, use_hann_window, fft_impl, k_out, fft_n1, fft_precision
+        ),
         floor_lin,
     )
 

@@ -126,3 +126,53 @@ def test_rfft_k_out_validation():
             rfft_mx(x, k_out=64 // 2 + 2)
         with pytest.raises(ValueError):
             rfft_mx(x, n1=48)
+
+
+@pytest.mark.parametrize("precision", ["default", "high", "highest"])
+def test_rfft_precision_levels_match_numpy(precision):
+    # On CPU every level is a true f32 matmul, so this pins the API and the
+    # transform itself; the TPU speed/accuracy tradeoff of each level is
+    # chip-measured (scripts/bench_fft_precision.py, docs/PERFORMANCE.md).
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    with _cpu():
+        got = np.asarray(rfft_mx(jnp.asarray(x), precision=precision))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5, (precision, err)
+
+
+def test_rfft_precision_validation():
+    with _cpu():
+        with pytest.raises(KeyError):
+            rfft_mx(jnp.zeros((2, 64), jnp.float32), precision="fast")
+
+
+def test_engine_fft_precision_config_traces():
+    # the static knob reaches the engine's frame-STFT blocks without
+    # disturbing output structure
+    from audio_analysis_tpu.engine import EngineConfig
+    from audio_analysis_tpu.engine.batch import analyze_batch
+
+    rng = np.random.default_rng(6)
+    n = 1 << 14
+    s = (rng.standard_normal((1, 2, n)) * np.exp(-np.arange(n) / 2000.0)).astype(
+        np.float32
+    )
+    lengths = np.full(1, n, np.int32)
+    with _cpu():
+        base = analyze_batch(jnp.asarray(s), jnp.asarray(lengths), EngineConfig())
+        high = analyze_batch(
+            jnp.asarray(s),
+            jnp.asarray(lengths),
+            EngineConfig(stft_fft_precision="high"),
+        )
+    assert set(base) == set(high)
+    for key in base:
+        np.testing.assert_allclose(
+            np.asarray(base[key], np.float64),
+            np.asarray(high[key], np.float64),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=key,
+        )
