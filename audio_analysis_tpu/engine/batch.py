@@ -689,13 +689,16 @@ def analyze_bundle_pipelined(
     consumed strictly in order; peak extra host+device memory is
     `prefetch_chunks` padded chunks.
 
-    `device_chunk_cache` (single-device path only): an object with
-    `get(chunk_index) -> device_array | None` and `put(chunk_index, arr)`.
-    A hit skips that chunk's WAV decode AND its host->device upload, so
-    re-analysing a bundle moves only the chunks whose audio changed — the
-    unchanged-bundle rerun moves nothing, and a 1-tap iteration moves one
-    chunk. The caller owns invalidation per chunk (key by the chunk's tap
-    mtimes/sizes — engine_report._ChunkCache does).
+    `device_chunk_cache`: an object with `get(chunk_index) -> device_array
+    | None` and `put(chunk_index, arr)`. A hit skips that chunk's WAV
+    decode AND its host->device upload, so re-analysing a bundle moves
+    only the chunks whose audio changed — the unchanged-bundle rerun moves
+    nothing, and a 1-tap iteration moves one chunk. Under `mesh` the
+    cached entries are tap-SHARDED device arrays (device_put onto the
+    mesh's tap sharding in the worker thread), so the same iterate-loop
+    economics hold on multi-chip runs; the caller owns invalidation per
+    chunk INCLUDING keying by the mesh (engine_report._ChunkCache does —
+    a single-device entry must never serve a mesh run or vice versa).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -719,12 +722,12 @@ def analyze_bundle_pipelined(
 
     import time as _time
 
-    # The worker thread decodes AND (single-device) device_puts the padded
-    # chunk, so the host->device transfer of chunk k+1 overlaps chunk k's
-    # engine compute — on a link where the upload is ~1/3 of warm e2e this
-    # is the difference between serial and pipelined uploads. The mesh path
-    # keeps host chunks (its dispatch device_puts onto the tap sharding).
-    use_cache = mesh is None and device_chunk_cache is not None
+    # The worker thread decodes AND device_puts the padded chunk — onto the
+    # default device, or straight onto the mesh's tap sharding — so the
+    # host->device transfer of chunk k+1 overlaps chunk k's engine compute:
+    # on a link where the upload is ~1/3 of warm e2e this is the difference
+    # between serial and pipelined uploads.
+    use_cache = device_chunk_cache is not None
 
     def load_chunk(lo: int, hi: int):
         if use_cache:
@@ -737,8 +740,11 @@ def analyze_bundle_pipelined(
             pad = chunk - take
             cb = np.concatenate([cb, np.zeros((pad,) + cb.shape[1:], cb.dtype)], axis=0)
         if mesh is not None:
-            return cb
-        cb = jnp.asarray(cb)
+            from audio_analysis_tpu.engine.mesh import tap_sharding
+
+            cb = jax.device_put(cb, tap_sharding(mesh))
+        else:
+            cb = jnp.asarray(cb)
         if use_cache:
             device_chunk_cache.put(lo // chunk, cb)
         return cb

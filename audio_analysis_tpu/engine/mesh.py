@@ -53,6 +53,11 @@ def make_mesh(num_devices: Optional[int] = None, platform: Optional[str] = None)
     return Mesh(devices, axis_names=("taps",))
 
 
+def tap_sharding(mesh: Mesh) -> NamedSharding:
+    """The (taps, channels, samples) data sharding for a 1D taps mesh."""
+    return NamedSharding(mesh, P("taps", None, None))
+
+
 def _pad_to_multiple(batch: np.ndarray, lengths: np.ndarray, multiple: int):
     b = batch.shape[0]
     pad = (-b) % multiple
@@ -109,19 +114,34 @@ def analyze_batch_sharded(
     config = dataclasses.replace(config, **replacements)
 
     n_shards = mesh.shape["taps"]
-    batch = np.asarray(batch)
-    if batch.dtype != np.int16:  # int16 rides the link raw; engine converts
-        batch = batch.astype(np.float32, copy=False)
-    batch_p, lengths_p, pad = _pad_to_multiple(batch, np.asarray(lengths, np.int32), n_shards)
-
-    data_sharding = NamedSharding(mesh, P("taps", None, None))
     len_sharding = NamedSharding(mesh, P("taps"))
-    # device_put the HOST arrays directly with the target sharding: an
-    # intermediate jnp.asarray would first commit them to the default
-    # device (the TPU), making a virtual-CPU-mesh run depend on a healthy
-    # TPU backend (this exact failure was recorded in MULTICHIP_r01).
-    samples = jax.device_put(batch_p, data_sharding)
-    lengths_dev = jax.device_put(lengths_p, len_sharding)
+    if isinstance(batch, jax.Array):
+        # pre-sharded fast path: the caller already device_put the (padded)
+        # chunk onto the tap sharding — e.g. analyze_bundle_pipelined's
+        # worker thread, so uploads overlap compute and the per-chunk
+        # device audio cache can hold sharded chunks. Used as-is.
+        if batch.shape[0] % n_shards:
+            raise ValueError(
+                f"pre-sharded batch of {batch.shape[0]} taps not divisible "
+                f"by mesh taps={n_shards}"
+            )
+        samples, pad = batch, 0
+        lengths_dev = jax.device_put(np.asarray(lengths, np.int32), len_sharding)
+    else:
+        batch = np.asarray(batch)
+        if batch.dtype != np.int16:  # int16 rides the link raw; engine converts
+            batch = batch.astype(np.float32, copy=False)
+        batch_p, lengths_p, pad = _pad_to_multiple(
+            batch, np.asarray(lengths, np.int32), n_shards
+        )
+
+        data_sharding = NamedSharding(mesh, P("taps", None, None))
+        # device_put the HOST arrays directly with the target sharding: an
+        # intermediate jnp.asarray would first commit them to the default
+        # device (the TPU), making a virtual-CPU-mesh run depend on a healthy
+        # TPU backend (this exact failure was recorded in MULTICHIP_r01).
+        samples = jax.device_put(batch_p, data_sharding)
+        lengths_dev = jax.device_put(lengths_p, len_sharding)
 
     out = sharded_step(mesh, config)(samples, lengths_dev)
 

@@ -47,7 +47,9 @@ class EngineBundleSettings:
     # the SAME unchanged bundle (keyed by tap paths + mtimes + sizes): the
     # iterate-loop workflow re-analyses one bundle repeatedly, and a warm
     # rerun then skips decode AND the whole host->device upload. One bundle
-    # slot (~0.25 GB for 64x2^20 stereo taps); single-device path only.
+    # slot (~0.25 GB for 64x2^20 stereo taps); on a device mesh the cached
+    # chunks are tap-sharded arrays (keyed by the mesh, so entries never
+    # cross between mesh and single-device runs).
     cache_device_audio: bool = True
     # Path to a previous run's bundle_metrics.json (or its reports dir /
     # bundle root): appends a deterministic "Changes vs previous" section
@@ -330,7 +332,7 @@ class _ChunkCache:
 
 
 def _device_audio_chunks(
-    bundle_root: Path, names: List[str], chunk_taps: int, n_max: int
+    bundle_root: Path, names: List[str], chunk_taps: int, n_max: int, mesh=None
 ) -> _ChunkCache:
     """A per-chunk cache view for this bundle state. Chunks whose taps'
     path/mtime/size are unchanged (at the same chunking AND padded batch
@@ -340,7 +342,11 @@ def _device_audio_chunks(
     `n_max` is part of the invalidation key: a re-record that grows the
     bundle's longest tap changes every chunk's padded shape (and the
     full-signal FFT grid downstream), so an unchanged-looking chunk cached
-    at the old n_max must NOT be reused."""
+    at the old n_max must NOT be reused. So is the mesh (by device ids):
+    mesh entries are tap-SHARDED arrays, single-device entries are plain —
+    one must never serve the other, and the per-chunk tap count itself is
+    chunk_taps x mesh size (mirroring analyze_bundle_pipelined's chunking,
+    including its clamp for small bundles)."""
     import os
 
     sig_for = []
@@ -349,15 +355,22 @@ def _device_audio_chunks(
         st = os.stat(p)
         sig_for.append((str(p), st.st_mtime_ns, st.st_size))
 
+    n_shards = int(mesh.shape["taps"]) if mesh is not None else 1
+    b = len(names)
+    eff_chunk = max(1, min(int(chunk_taps), -(-b // n_shards))) * n_shards
+    mesh_key = (
+        None if mesh is None else tuple(int(d.id) for d in mesh.devices.flat)
+    )
+
     cache = _DEVICE_AUDIO_CACHE
-    shape_key = (int(chunk_taps), int(n_max))
+    shape_key = (eff_chunk, int(n_max), mesh_key)
     if cache["shape_key"] != shape_key:
         cache["shape_key"] = shape_key
         cache["entries"] = {}
     old = cache["entries"]
     new: Dict = {}
     cache["entries"] = new
-    return _ChunkCache(sig_for, chunk_taps, old, new)
+    return _ChunkCache(sig_for, eff_chunk, old, new)
 
 
 def run_bundle_report_engine(
@@ -425,9 +438,9 @@ def run_bundle_report_engine(
 
             mesh = make_mesh()
         chunk_cache = None
-        if settings.cache_device_audio and mesh is None:
+        if settings.cache_device_audio:
             chunk_cache = _device_audio_chunks(
-                bundle_root, names, settings.chunk_taps, n_max
+                bundle_root, names, settings.chunk_taps, n_max, mesh
             )
         out = analyze_bundle_pipelined(
             loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh,
