@@ -423,6 +423,12 @@ import jax
 # accelerator plugin's startup hook): a config-level pin is the only one
 # that sticks if a hook DID run — see utils/platform.py.
 jax.config.update("jax_platforms", "cpu")
+# CPU executables in the persistent cache are AOT-compiled for the machine
+# that stored them; loading one on a different container type logs
+# "Machine type ... doesn't match" and risks SIGILL (observed 2026-08-19).
+# The TPU phases keep the cache; this CPU worker must not read or write it
+# — the artifact run's robustness outranks ~tens of seconds of recompile.
+jax.config.update("jax_enable_compilation_cache", False)
 
 from audio_analysis_tpu.engine import EngineConfig, analyze_batch_sharded, make_mesh
 
