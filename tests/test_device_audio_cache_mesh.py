@@ -35,6 +35,11 @@ from audio_analysis_tpu.engine import EngineConfig
 
 bundle, out_json = sys.argv[1], sys.argv[2]
 
+# Fresh containers have no cpp/build/libaudioio.so; without it the bundle
+# loader silently falls back to the scipy reader and the decode counter
+# below never fires. Build it (toolchain is part of the environment).
+assert native.ensure_built(), "native audioio library must build (make -C cpp)"
+
 decode_calls = [0]
 orig = native.read_bundle_planar_i16
 

@@ -140,10 +140,10 @@ def test_pipelined_bundle_matches_batch(tmp_path):
     from audio_analysis_tpu.io import native
     from audio_analysis_tpu.io.bundle import write_bundle
 
-    if not native.available():
+    if not native.ensure_built():  # builds cpp/ on a fresh container
         import pytest
 
-        pytest.skip("native audioio library not built (make -C cpp)")
+        pytest.skip("native audioio library not buildable (make -C cpp)")
 
     sr = 48_000
     n = 16_384

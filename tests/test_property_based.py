@@ -119,7 +119,7 @@ def test_header_probe_parses_valid_layouts_with_junk_chunks(
 
     from audio_analysis_tpu.io import native
 
-    if native.available():
+    if native.ensure_built():  # builds cpp/ on a fresh container
         assert native.read_wav_info(path) == (frames, channels, SR)
 
 
