@@ -122,6 +122,14 @@ def available() -> bool:
     return _load() is not None
 
 
+# latched by ensure_built after a FAILED `make -C cpp`: without it every
+# caller (e.g. each example of a hypothesis test) would re-run the whole
+# build attempt — up to timeout_s each — on a machine whose toolchain is
+# broken or missing, turning one skip-worthy condition into minutes of
+# retries (round-4 advisor finding).
+_build_failed = False
+
+
 def ensure_built(timeout_s: float = 180.0) -> bool:
     """Best-effort: build the native library (`make -C cpp`) if it is not
     loadable yet, then retry the load. Returns available().
@@ -129,12 +137,17 @@ def ensure_built(timeout_s: float = 180.0) -> bool:
     Perf entry points (bench.py, chip_checklist) call this so a fresh
     checkout measures the native decode path instead of silently falling
     back to the ~10x slower scipy reader. Never raises: when the toolchain
-    or Makefile is missing the normal fallback story applies."""
-    global _lib, _load_attempted
+    or Makefile is missing the normal fallback story applies. A failed
+    build is remembered for the life of the process — repeat calls return
+    False immediately instead of re-running make."""
+    global _lib, _load_attempted, _build_failed
     if available() or os.environ.get("AA_AUDIOIO_LIB"):
         return available()
+    if _build_failed:
+        return False
     makefile = Path(__file__).resolve().parents[2] / "cpp" / "Makefile"
     if not makefile.exists():
+        _build_failed = True
         return False
     import subprocess
 
@@ -146,6 +159,7 @@ def ensure_built(timeout_s: float = 180.0) -> bool:
             check=True,
         )
     except Exception:
+        _build_failed = True
         return False
     _lib, _load_attempted = None, False  # retry the candidate scan
     return available()

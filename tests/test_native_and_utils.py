@@ -19,6 +19,30 @@ def test_ensure_built_yields_native_library():
     assert native.available() is True
 
 
+def test_ensure_built_caches_a_failed_build(monkeypatch):
+    """A failed `make -C cpp` must be latched for the process: callers in a
+    loop (hypothesis examples, per-test fixtures) would otherwise re-run a
+    doomed, up-to-180 s build attempt every call (round-4 advisor)."""
+    import subprocess
+
+    calls = [0]
+
+    def failing_run(*a, **k):
+        calls[0] += 1
+        raise subprocess.CalledProcessError(2, a[0])
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_attempted", True)  # available() False
+    monkeypatch.setattr(native, "_build_failed", False)
+    monkeypatch.delenv("AA_AUDIOIO_LIB", raising=False)
+    monkeypatch.setattr(subprocess, "run", failing_run)
+
+    assert native.ensure_built() is False
+    assert native.ensure_built() is False
+    assert native.ensure_built() is False
+    assert calls[0] == 1, "make must run once, then the failure is latched"
+
+
 def test_ensure_built_honors_explicit_override(monkeypatch):
     """AA_AUDIOIO_LIB means 'use exactly this library or fail loudly'
     (sanitizer campaigns); ensure_built must not rebuild/swap under it."""
