@@ -48,15 +48,29 @@ class KindTimer:
         # first job per kind pays the figure-template build (plot/PLOTTING.md);
         # recording it separately makes amortisation visible in plot_timings.json
         self._first: Dict[str, float] = {}
+        # CPU seconds actually spent ON the render thread (time.thread_time):
+        # the worker shares the GIL (and on a 1-core host, the core) with the
+        # main thread's numpy/decode work, so per-kind WALL time swings with
+        # scheduling phase alignment, not render cost — BENCH_r04's 3.7x
+        # "frequency-response regression" was exactly this (isolated renders
+        # measured unchanged at ~0.25 s/job). cpu_seconds is the stable
+        # attribution; wall - cpu is time the thread sat runnable-but-starved.
+        self._cpu: Dict[str, float] = {}
 
-    def add(self, kind: str, seconds: float) -> None:
+    def add(self, kind: str, seconds: float, cpu_seconds: float = 0.0) -> None:
         self._seconds[kind] = self._seconds.get(kind, 0.0) + seconds
         self._counts[kind] = self._counts.get(kind, 0) + 1
         self._first.setdefault(kind, seconds)
+        self._cpu[kind] = self._cpu.get(kind, 0.0) + cpu_seconds
 
-    def as_sorted(self) -> Dict[str, Tuple[float, int, float]]:
+    def as_sorted(self) -> Dict[str, Tuple[float, int, float, float]]:
         return {
-            kind: (self._seconds[kind], self._counts[kind], self._first[kind])
+            kind: (
+                self._seconds[kind],
+                self._counts[kind],
+                self._first[kind],
+                self._cpu[kind],
+            )
             for kind in sorted(self._seconds, key=self._seconds.get, reverse=True)
         }
 
@@ -95,12 +109,17 @@ class PlotWorker:
                 continue
             kind = _job_kind(job)
             start = time.perf_counter()
+            cpu_start = time.thread_time()
             try:
                 job()
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._errors.append((label, exc))
             finally:
-                self._timer.add(kind, time.perf_counter() - start)
+                self._timer.add(
+                    kind,
+                    time.perf_counter() - start,
+                    time.thread_time() - cpu_start,
+                )
 
     def submit(self, job: Callable[[], None], label: Optional[str] = None) -> None:
         self._queue.put((job, label))
@@ -110,8 +129,9 @@ class PlotWorker:
         self._queue.put((done.set, _IDLE))
         done.wait()
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
-        """{render_fn_name: (total_seconds, jobs, first_job_seconds)} — call after drain()."""
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float, float]]:
+        """{render_fn_name: (total_seconds, jobs, first_job_seconds,
+        cpu_seconds)} — call after drain()."""
         return self._timer.as_sorted()
 
     def drain(self) -> None:
@@ -190,16 +210,21 @@ class MaybePlotWorker:
         if self._worker is None:
             kind = _job_kind(job)
             start = time.perf_counter()
+            cpu_start = time.thread_time()
             try:
                 job()
             except BaseException as exc:  # noqa: BLE001 — surfaced in drain()
                 self._sync_errors.append((label, exc))
             finally:
-                self._sync_timer.add(kind, time.perf_counter() - start)
+                self._sync_timer.add(
+                    kind,
+                    time.perf_counter() - start,
+                    time.thread_time() - cpu_start,
+                )
         else:
             self._worker.submit(job, label)
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float, float]]:
         if self._worker is not None:
             return self._worker.timings_by_kind()
         return self._sync_timer.as_sorted()

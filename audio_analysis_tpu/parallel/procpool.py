@@ -49,20 +49,23 @@ def _worker_init() -> None:
     os.environ.setdefault("MPLBACKEND", "Agg")
 
 
-def _run_timed(job: Callable[[], None]) -> Tuple[float, Optional[BaseException]]:
+def _run_timed(
+    job: Callable[[], None],
+) -> Tuple[float, float, Optional[BaseException]]:
     """Top-level (picklable) wrapper: run the render job in the child and
-    return (wall seconds there, error-or-None), so the parent's
-    timings_by_kind costs remote renders — including failed ones, which
-    still burn the time they burned. (If a raised error can't be pickled,
-    the executor surfaces the pickling failure via future.exception() and
-    only that job's timing is lost.)"""
+    return (wall seconds there, CPU seconds there, error-or-None), so the
+    parent's timings_by_kind costs remote renders — including failed ones,
+    which still burn the time they burned. (If a raised error can't be
+    pickled, the executor surfaces the pickling failure via
+    future.exception() and only that job's timing is lost.)"""
     start = time.perf_counter()
+    cpu_start = time.thread_time()
     try:
         job()
         err: Optional[BaseException] = None
     except BaseException as exc:  # noqa: BLE001 — reported via drain()
         err = exc
-    return time.perf_counter() - start, err
+    return time.perf_counter() - start, time.thread_time() - cpu_start, err
 
 
 class ProcessPlotPool:
@@ -122,8 +125,8 @@ class ProcessPlotPool:
         parallelism. Safe: matplotlib is only ever touched from the
         caller's thread on this path (there is no thread worker in the
         pool flavor)."""
-        seconds, err = _run_timed(job)
-        self._timer.add(_job_kind(job), seconds)
+        seconds, cpu_seconds, err = _run_timed(job)
+        self._timer.add(_job_kind(job), seconds, cpu_seconds)
         if err is not None:
             self._errors.append((label, err))
 
@@ -195,8 +198,8 @@ class ProcessPlotPool:
             else:
                 self._errors.append((label, exc))
             return
-        seconds, err = future.result()
-        self._timer.add(kind, seconds)
+        seconds, cpu_seconds, err = future.result()
+        self._timer.add(kind, seconds, cpu_seconds)
         if err is not None:
             self._errors.append((label, err))
 
@@ -215,8 +218,9 @@ class ProcessPlotPool:
         while self._pending:
             self._reap(block=True)
 
-    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float]]:
-        """{render_fn_name: (total_child_seconds, jobs, first_job_seconds)} — call after drain()."""
+    def timings_by_kind(self) -> Dict[str, Tuple[float, int, float, float]]:
+        """{render_fn_name: (total_child_seconds, jobs, first_job_seconds,
+        child_cpu_seconds)} — call after drain()."""
         return self._timer.as_sorted()
 
     def drain(self) -> None:

@@ -213,8 +213,14 @@ def run_bundle_report(
                         # first job per kind pays the template build;
                         # steady-state is (seconds - first) / (jobs - 1)
                         "first_job_seconds": round(first, 4),
+                        # CPU seconds spent ON the render thread/process:
+                        # the stable per-kind attribution. `seconds` is
+                        # wall clock and inflates with GIL/core contention
+                        # from the main thread's numpy + decode work
+                        # (docs/PERFORMANCE.md round-5 FR investigation).
+                        "cpu_seconds": round(cpu, 4),
                     }
-                    for kind, (seconds, jobs, first) in plot_timings.items()
+                    for kind, (seconds, jobs, first, cpu) in plot_timings.items()
                 },
                 indent=1,
             )
