@@ -60,6 +60,76 @@ def _ok(path):
     pathlib.Path(path).write_text("ok")
 
 
+def _render_noise_figure(path, seed):
+    """A CPU-bound render job shaped like the real ones: build a noisy
+    spectrum-style line figure and PNG it (~0.2-0.4 s of Agg stroking)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    y = rng.standard_normal(1680).astype(np.float32) * 10 - 40
+    fig, ax = plt.subplots(figsize=(10, 6), dpi=100)
+    ax.plot(y)
+    ax.plot(y - 3, alpha=0.7)
+    ax.grid(True, which="both", linestyle=":", linewidth=0.5)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def test_process_pool_wins_on_multicore(tmp_path):
+    """plot_processes>0 exists for multi-core hosts: 2 workers over
+    CPU-bound render jobs must beat the single-thread worker by >=1.5x
+    when >=3 cores are free (2 pool children + the parent). On fewer cores
+    the pool can only lose to spawn+IPC overhead — which is why bench.py
+    gates its procpool variant on host_cpu_cores > 1 — and this test
+    skips rather than measure contention noise."""
+    import time
+    from functools import partial
+
+    import pytest
+
+    cores = os.cpu_count() or 1
+    if cores < 3:
+        pytest.skip(f"needs >=3 cores for a fair pool-vs-thread race (have {cores})")
+
+    from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
+    from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
+
+    jobs = 12
+    # thread worker (the 0-process baseline)
+    thread_worker = MaybePlotWorker(True)
+    start = time.perf_counter()
+    for i in range(jobs):
+        thread_worker.submit(partial(_render_noise_figure, str(tmp_path / f"t{i}.png"), i))
+    thread_worker.drain()
+    thread_worker.close()
+    thread_seconds = time.perf_counter() - start
+
+    pool = ProcessPlotPool(num_workers=2)
+    try:
+        # spawn + matplotlib import cost is a per-bundle constant, paid
+        # once before the steady state this test measures
+        pool.submit(partial(_render_noise_figure, str(tmp_path / "warm.png"), 99))
+        pool.drain()
+        start = time.perf_counter()
+        for i in range(jobs):
+            pool.submit(partial(_render_noise_figure, str(tmp_path / f"p{i}.png"), i))
+        pool.drain()
+        pool_seconds = time.perf_counter() - start
+    finally:
+        pool.close()
+
+    assert all((tmp_path / f"p{i}.png").stat().st_size > 1000 for i in range(jobs))
+    speedup = thread_seconds / pool_seconds
+    assert speedup >= 1.5, (
+        f"2-worker pool only {speedup:.2f}x vs thread worker "
+        f"({pool_seconds:.2f}s vs {thread_seconds:.2f}s) on {cores} cores"
+    )
+
+
 def test_process_pool_isolates_job_failures(tmp_path):
     """A failing render job must not kill the pool: later jobs still run and
     drain_collect returns the labeled failure instead of raising."""
