@@ -28,15 +28,19 @@ FIXTURE_DIR = Path(__file__).parent / "golden" / "reference"
 _ANY_NUM = re.compile(r"-?\d+(?:\.\d+)?")
 
 # (rel_tol, abs_tol) per module; group delay and fr sit on a different
-# (padded) FFT bin grid, modal cloud's reliability gate may flip a point
-# count at f32.
+# (padded) FFT bin grid. Modal cloud measured byte-identical on CPU and
+# within 1e-3 on the real TPU backend (one digit of one p90, identical
+# point counts — round-5 measurement), so its tolerance is 1e-2 rel: tight
+# enough that a reliability-gate point-count flip of more than ±1 fails,
+# loose enough for cross-backend f32 drift with an order-of-magnitude
+# margin.
 TOLERANCES = {
     "decay": (1e-3, 1e-3),
     "rt60bands": (1e-3, 2e-3),
     "frequency_response": (5e-3, 1.0),
     "spectrogram": (1e-3, 0.5),
     "waterfall": (1e-3, 0.5),
-    "modalcloud": (5e-2, 1.0),
+    "modalcloud": (1e-2, 2e-3),
     "diffusion": (2e-2, 0.02),
     "group_delay": (2e-2, 5.0),
     "filterplot": (5e-3, 1.0),
