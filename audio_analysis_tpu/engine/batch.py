@@ -667,6 +667,7 @@ def analyze_bundle_pipelined(
     timings: "Dict[str, float] | None" = None,
     device_chunk_cache=None,
     prefetch_chunks: int = 2,
+    on_chunk_result=None,
 ) -> Dict[str, np.ndarray]:
     """
     Pipelined host entry: `loader(lo, hi)` decodes taps [lo, hi) into a
@@ -699,6 +700,17 @@ def analyze_bundle_pipelined(
     economics hold on multi-chip runs; the caller owns invalidation per
     chunk INCLUDING keying by the mesh (engine_report._ChunkCache does —
     a single-device entry must never serve a mesh run or vice versa).
+
+    `on_chunk_result(lo, hi, res)`: when given, results are fetched ONE
+    CHUNK AT A TIME, in order, and the callback runs on each (already
+    pad-trimmed) chunk dict while LATER chunks are still computing on
+    device — host consumers (the engine report's markdown writer) overlap
+    the device timeline instead of serialising after it. Chunk k's fetch
+    round-trip also hides under chunk k+1..n's compute, so the exposed
+    fetch latency is one round trip either way; the per-chunk copies give
+    up only the single-packed-fetch convention, which matters for MANY
+    SMALL fetches (33 per chunk, the round-2 decay bug), not one per
+    chunk. Callback time is reported separately (chunk_callback_s).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -780,24 +792,40 @@ def analyze_bundle_pipelined(
             dispatch_s += _time.perf_counter() - t0
             takes.append(take)
 
-    t0 = _time.perf_counter()
-    fetched = fetch_packed(flats, spec)
-    fetch_s = _time.perf_counter() - t0
+    chunks = []
+    callback_s = 0.0
+    if on_chunk_result is None:
+        t0 = _time.perf_counter()
+        fetched = fetch_packed(flats, spec)
+        fetch_s = _time.perf_counter() - t0
+        for res, take in zip(fetched, takes):
+            if take < chunk:
+                res = {k: v[:take] for k, v in res.items()}
+            chunks.append(res)
+    else:
+        fetch_s = 0.0
+        for k_idx, (flat, take) in enumerate(zip(flats, takes)):
+            t0 = _time.perf_counter()
+            res = unpack_flat(np.asarray(flat), spec)
+            fetch_s += _time.perf_counter() - t0
+            if take < chunk:
+                res = {k: v[:take] for k, v in res.items()}
+            lo = k_idx * chunk
+            t0 = _time.perf_counter()
+            on_chunk_result(lo, lo + take, res)
+            callback_s += _time.perf_counter() - t0
+            chunks.append(res)
     if timings is not None:
         # decode_wait = time the pipeline actually BLOCKED on the worker's
         # WAV-decode + (single-device) h2d upload — work overlapped with
         # device compute doesn't show up here; dispatch = any non-overlapped
-        # upload + trace/dispatch; fetch = the one packed device->host
-        # metric copy (includes waiting out device compute).
+        # upload + trace/dispatch; fetch = the device->host metric copies
+        # (includes waiting out device compute).
         timings["decode_wait_s"] = round(decode_wait_s, 4)
         timings["h2d_dispatch_s"] = round(dispatch_s, 4)
         timings["fetch_s"] = round(fetch_s, 4)
-
-    chunks = []
-    for res, take in zip(fetched, takes):
-        if take < chunk:
-            res = {k: v[:take] for k, v in res.items()}
-        chunks.append(res)
+        if on_chunk_result is not None:
+            timings["chunk_callback_s"] = round(callback_s, 4)
     return {k: np.concatenate([ch[k] for ch in chunks], axis=0) for k in chunks[0]}
 
 

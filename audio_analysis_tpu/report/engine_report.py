@@ -429,6 +429,39 @@ def run_bundle_report_engine(
     if downmix_on_device and not config.downmix_to_mono:
         config = replace(config, downmix_to_mono=True)
 
+    reports_root = bundle_root / settings.reports_subdir
+    reports_root.mkdir(parents=True, exist_ok=True)
+
+    ctx = _summary_context(config, meta.sample_rate_hz)
+    tap_lines: List[str] = []
+
+    def _write_tap(tap: str, b_global: int, out_like: Dict, b_local: int,
+                   channel_names: List[str]) -> None:
+        out_dir = reports_root / tap
+        out_dir.mkdir(parents=True, exist_ok=True)
+        body = format_tap_summary(
+            out_like, b_local, channel_names, meta.sample_rate_hz, config, ctx
+        )
+        header = (
+            "# Offline Reverb Analysis Report (engine)\n\n"
+            f"**Tap:** `{tap}`  \n"
+            f"**Sample rate:** {meta.sample_rate_hz} Hz  \n"
+            f"**Samples:** {int(lengths[b_global])}\n\n---\n\n"
+        )
+        (out_dir / f"{tap}_report.md").write_text(header + body)
+        # relative to the index file, which itself lives in reports_subdir
+        # (the reference prefixes the subdir again — broken links that
+        # report/bundle.py mirrors for parity; this engine-format index is
+        # new code, so its links actually resolve)
+        tap_lines.append(f"- [{tap}]({tap}/{tap}_report.md)")
+
+    def _on_chunk(lo: int, hi: int, res: Dict) -> None:
+        # per-tap markdown rides inside the device timeline: chunk k's
+        # summaries are written while chunks k+1..n still compute
+        ch_names = _channel_names_from_output(res)
+        for b in range(lo, hi):
+            _write_tap(names[b], b, res, b - lo, ch_names)
+
     phases: Dict[str, float] = {"probe_s": round(load_seconds, 4)}
     start_compute = time.perf_counter()
     if batch is None:
@@ -446,10 +479,12 @@ def run_bundle_report_engine(
             loader, lengths, n_max, config, settings.chunk_taps, mesh=mesh,
             timings=phases, device_chunk_cache=chunk_cache,
             prefetch_chunks=settings.prefetch_chunks,
+            on_chunk_result=_on_chunk,
         )
         if chunk_cache is not None:
             phases["audio_chunks_reused"] = chunk_cache.reused
             phases["audio_chunks_uploaded"] = chunk_cache.uploaded
+        phases["markdown_s"] = phases.pop("chunk_callback_s", 0.0)
     else:
         out = _analyze_possibly_sharded(batch, lengths, config, settings)
     compute_seconds = time.perf_counter() - start_compute
@@ -459,8 +494,13 @@ def run_bundle_report_engine(
     # config-level downmix_to_mono can't desync the summary writer
     channel_names = _channel_names_from_output(out)
 
-    reports_root = bundle_root / settings.reports_subdir
-    reports_root.mkdir(parents=True, exist_ok=True)
+    if batch is not None:
+        # the non-pipelined path has no per-chunk callback: write the
+        # summaries from the assembled output, as before
+        start_markdown = time.perf_counter()
+        for b, tap in enumerate(names):
+            _write_tap(tap, b, out, b, channel_names)
+        phases["markdown_s"] = round(time.perf_counter() - start_markdown, 4)
 
     index_lines = [
         "# IR Bundle Report (engine)\n",
@@ -470,27 +510,7 @@ def run_bundle_report_engine(
         f"**Taps:** {len(names)}  |  load {load_seconds:.3f}s  |  "
         f"analysis {compute_seconds:.3f}s\n",
         "\n## Taps\n",
-    ]
-
-    start_markdown = time.perf_counter()
-    ctx = _summary_context(config, meta.sample_rate_hz)
-    for b, tap in enumerate(names):
-        out_dir = reports_root / tap
-        out_dir.mkdir(parents=True, exist_ok=True)
-        body = format_tap_summary(out, b, channel_names, meta.sample_rate_hz, config, ctx)
-        header = (
-            "# Offline Reverb Analysis Report (engine)\n\n"
-            f"**Tap:** `{tap}`  \n"
-            f"**Sample rate:** {meta.sample_rate_hz} Hz  \n"
-            f"**Samples:** {int(lengths[b])}\n\n---\n\n"
-        )
-        (out_dir / f"{tap}_report.md").write_text(header + body)
-        # relative to the index file, which itself lives in reports_subdir
-        # (the reference prefixes the subdir again — broken links that
-        # report/bundle.py mirrors for parity; this engine-format index is
-        # new code, so its links actually resolve)
-        index_lines.append(f"- [{tap}]({tap}/{tap}_report.md)")
-    phases["markdown_s"] = round(time.perf_counter() - start_markdown, 4)
+    ] + tap_lines
 
     # machine-readable dump of every metric
     start_json = time.perf_counter()
@@ -508,7 +528,6 @@ def run_bundle_report_engine(
         # unavailable metrics; consumers should parse with the same.
         "metrics": {k: np.asarray(v).tolist() for k, v in out.items()},
     }
-    phases["json_s"] = round(time.perf_counter() - start_json, 4)
     # comparison reads the PREVIOUS run's file before this run's dump
     # overwrites it, so comparing against the same reports dir in place
     # ("what changed since my last run here?") works too
@@ -519,7 +538,16 @@ def run_bundle_report_engine(
         compare_section = compare_section_for_index(
             metrics_json, settings.compare_to, settings.compare_threshold_pct
         )
-    (reports_root / "bundle_metrics.json").write_text(json.dumps(metrics_json, indent=1))
+    # NO indent: any indent forces CPython's pure-Python json encoder, which
+    # cost ~0.1 s over the ~80k metric floats here — a measurable slice of
+    # the warm iterate-loop wall (round-5 chip profile); compact uses the
+    # C encoder. json_s is stamped before the phases dict (aliased into the
+    # file) is serialized, so it covers the tolist conversion; the encode
+    # itself is bounded by the same profile at ~20 ms compact.
+    phases["json_s"] = round(time.perf_counter() - start_json, 4)
+    (reports_root / "bundle_metrics.json").write_text(
+        json.dumps(metrics_json, separators=(",", ":"))
+    )
     if compare_section:
         index_lines.append(compare_section)
 
