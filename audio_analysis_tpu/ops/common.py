@@ -12,20 +12,26 @@ Every op in this package is batched, mask-based and jit-safe:
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def valid_mask(n: int, length: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(..., n) mask: 1 where index < length."""
     idx = jnp.arange(n, dtype=jnp.int32)
     return (idx < length[..., None]).astype(dtype)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def bool_valid_mask(n: int, length: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(n, dtype=jnp.int32)
     return idx < length[..., None]
 
 
+@partial(jax.jit, static_argnums=(0,))
 def hann_window_dynamic(n: int, length: jnp.ndarray) -> jnp.ndarray:
     """
     Symmetric Hann window of *runtime* length `length` laid out in a static
@@ -60,6 +66,7 @@ def db_from_power(power: jnp.ndarray, eps: float) -> jnp.ndarray:
     return 10.0 * jnp.log10(jnp.maximum(power, eps))
 
 
+@partial(jax.jit, static_argnums=(1,))
 def box_smooth_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Moving average matching np.convolve(x, ones(w)/w, mode="same")
     (reference decay.py:161-164): out-of-range samples count as zero, the

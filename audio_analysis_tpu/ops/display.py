@@ -53,6 +53,7 @@ _DB_SCALE = 128.0
 _DB_CLIP = 255.99
 
 
+@jax.jit
 def quantize_db_i16(x):
     """dB plane -> 1/128-dB int16 fixed point (±255.99 dB clip): THE d2h
     link format for every dB image/slice/plane. One definition so the

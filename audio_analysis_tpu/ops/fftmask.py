@@ -11,6 +11,7 @@ runs a full-length FFT per band (rt60bands.py:362-406).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -249,6 +250,17 @@ def crop_half_masks(masks: np.ndarray, num_samples: int, decimation: int) -> np.
 # ----------------------------------------------------------------------------
 
 
+@jax.jit
+def _packed_fft(x: jnp.ndarray) -> jnp.ndarray:
+    z = jax.lax.complex(x[..., 0, :], x[..., 1, :])  # (..., N)
+    return jnp.fft.fft(z, axis=-1)
+
+
+@jax.jit
+def _real_fft(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.fft.rfft(x, axis=-1)
+
+
 def full_band_spectrum(x: jnp.ndarray):
     """
     The forward transform shared by every band/decimation group.
@@ -260,11 +272,11 @@ def full_band_spectrum(x: jnp.ndarray):
     """
     n = x.shape[-1]
     if x.ndim >= 2 and x.shape[-2] == 2 and n % 2 == 0:
-        z = jax.lax.complex(x[..., 0, :], x[..., 1, :])  # (..., N)
-        return "packed", jnp.fft.fft(z, axis=-1)
-    return "real", jnp.fft.rfft(x, axis=-1)
+        return "packed", _packed_fft(x)
+    return "real", _real_fft(x)
 
 
+@partial(jax.jit, static_argnames=("kind", "num_samples", "decimation"))
 def banded_from_spectrum(
     kind: str,
     spectrum: jnp.ndarray,

@@ -123,6 +123,7 @@ def build_log_bin_matrix(
     return centres, a, nonempty
 
 
+@jax.jit
 def aggregate_db_to_log_bins(
     mag_db: jnp.ndarray, bin_matrix: jnp.ndarray
 ) -> jnp.ndarray:

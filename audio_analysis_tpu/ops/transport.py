@@ -21,6 +21,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _pack_f32(leaves):
+    """Concatenate a list of device arrays into one flat f32 vector ON
+    DEVICE as a single compiled program (eager per-leaf astype/ravel +
+    concatenate dispatched ~3 programs per distinct leaf-set — each a slow
+    first-compile on the dev relay)."""
+    return jnp.concatenate([leaf.astype(jnp.float32).ravel() for leaf in leaves])
+
+
 def fetch_packed_tree(tree):
     """Return `tree` with every jax array replaced by host numpy, using one
     packed device->host transfer; non-array leaves pass through."""
@@ -37,9 +46,7 @@ def fetch_packed_tree(tree):
         assert not jnp.issubdtype(leaf.dtype, jnp.complexfloating), (
             "complex leaves not supported by f32 packing (fetch parts instead)"
         )
-    packed = np.asarray(
-        jnp.concatenate([leaf.astype(jnp.float32).ravel() for leaf in dev])
-    )
+    packed = np.asarray(_pack_f32(dev))
 
     out = list(leaves)
     offset = 0

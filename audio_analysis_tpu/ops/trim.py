@@ -26,6 +26,7 @@ class AlignedSignal(NamedTuple):
     start_index: jnp.ndarray  # (...,) int32 offset into the original signal
 
 
+@jax.jit
 def peak_index(x: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     """Index of the absolute peak within the valid prefix (int32, per batch el)."""
     mask = bool_valid_mask(x.shape[-1], length)
@@ -33,6 +34,7 @@ def peak_index(x: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(mag, axis=-1).astype(jnp.int32)
 
 
+@jax.jit
 def shift_to(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> AlignedSignal:
     """
     Shift x so original index `start` lands at 0. `start` and `length`
