@@ -157,8 +157,8 @@ def analyse_diffusion_from_wav_file(
         len_arr = jnp.asarray(np.array([start + seg_len, start + seg_len], np.int32))
         lr_al = trim.shift_to(dsp.x, start_arr, len_arr)
 
-        s = dops.stereo_diffusion_metrics(
-            lr_al.samples[0:1], lr_al.samples[1:2], lr_al.length[0:1], win, hop, max_lag
+        s = dops.stereo_diffusion_metrics_rows(
+            lr_al.samples, lr_al.length, win, hop, max_lag
         )
         t_valid = results[0].series.time_seconds.size
         t_stereo = 0 if seg_len < win else 1 + (seg_len - win) // hop

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from audio_analysis_tpu.analyses._common import FileDsp, single_channel_dsp, suffixed_png
@@ -86,6 +87,20 @@ def _metric_range(settings: ModalCloudAnalysisSettings) -> Tuple[str, Tuple[floa
     return "t30", settings.t30_range_db
 
 
+@jax.jit
+def _bin_curves(mag_db_tf, bin_matrix, num_frames):
+    """Bin aggregation + per-bin peak normalisation (modalcloud.py:356-361)
+    as ONE named program — bare jnp glue here dispatched three tiny eager
+    programs per shape, each a slow first-compile on the dev relay."""
+    import jax.numpy as jnp
+
+    curves_db = logfreq.aggregate_db_to_log_bins(mag_db_tf, bin_matrix)  # (C, B, T)
+    peak = jnp.max(curves_db, axis=-1, keepdims=True)
+    rel = curves_db - peak
+    frame_len = jnp.broadcast_to(num_frames[:, None], rel.shape[:-1])
+    return peak, rel, frame_len
+
+
 def analyse_modal_cloud_channels(
     dsp: FileDsp,
     settings: ModalCloudAnalysisSettings,
@@ -137,16 +152,13 @@ def analyse_modal_cloud_channels(
     bin_matrix = np.zeros((centres.size, freq_hz.size), dtype=np.float32)
     bin_matrix[:, fmask] = bin_matrix_sel
 
-    curves_db = logfreq.aggregate_db_to_log_bins(mag_db_tf, jnp.asarray(bin_matrix))  # (C, B, T)
-
-    # Per-bin peak normalisation + reliability gate (modalcloud.py:356-361).
-    peak = jnp.max(curves_db, axis=-1, keepdims=True)
-    rel = curves_db - peak
+    peak, rel, frame_len = _bin_curves(
+        mag_db_tf, jnp.asarray(bin_matrix), result.num_frames
+    )
 
     # Frame-hop time base: fits run on the per-frame curve, masked by each
     # channel's valid frame count.
     frame_rate = float(sample_rate_hz) / float(settings.hop_length)
-    frame_len = jnp.broadcast_to(result.num_frames[:, None], rel.shape[:-1])
 
     metric, range_db = _metric_range(settings)
     fit = dbfit.fit_decay_slope_over_db_range(

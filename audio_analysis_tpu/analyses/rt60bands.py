@@ -119,9 +119,7 @@ def analyse_rt60_bands_channels(
     if ignore > 0:
         start = jnp.minimum(start + ignore, length)
 
-    start_b = jnp.broadcast_to(start[:, None], banded.shape[:-1])
-    length_b = jnp.broadcast_to(length[:, None], banded.shape[:-1])
-    aligned = trim.shift_to(banded, start_b, length_b)
+    aligned = trim.shift_bands_to(banded, start, length)
 
     curve = edc.schroeder_edc_db(
         aligned.samples,

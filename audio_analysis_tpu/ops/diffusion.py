@@ -177,6 +177,35 @@ def stereo_diffusion_metrics(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("win", "hop", "max_lag", "fft_impl", "fft_precision"),
+)
+def stereo_diffusion_metrics_rows(
+    samples: jnp.ndarray,
+    length: jnp.ndarray,
+    win: int,
+    hop: int,
+    max_lag: int,
+    fft_impl: str = "xla",
+    fft_precision: "str | None" = None,
+) -> StereoDiffusionSeries:
+    """`stereo_diffusion_metrics` on the (..., 2, N) aligned L/R row layout:
+    the row slicing happens INSIDE the program (bare `samples[0:1]` slices
+    at the call site each dispatched a tiny eager program — a slow
+    first-compile per shape on the dev relay)."""
+    return stereo_diffusion_metrics(
+        samples[..., 0:1, :],
+        samples[..., 1:2, :],
+        length[..., 0:1],
+        win,
+        hop,
+        max_lag,
+        fft_impl,
+        fft_precision,
+    )
+
+
 def diffusion_frame_times(n: int, win: int, hop: int, sample_rate_hz: int) -> np.ndarray:
     t = num_frames_static(n, win, hop)
     return ((np.arange(t) * hop + 0.5 * win) / float(sample_rate_hz)).astype(np.float32)

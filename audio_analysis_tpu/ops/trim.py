@@ -35,6 +35,19 @@ def peak_index(x: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def shift_bands_to(
+    x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray
+) -> AlignedSignal:
+    """`shift_to` over a (..., bands, N) plane with per-(...) start/length
+    shared across the bands axis. The broadcast happens INSIDE the program
+    (bare `jnp.broadcast_to` glue at call sites dispatched tiny eager
+    programs — each a slow first-compile on the dev relay)."""
+    start_b = jnp.broadcast_to(start[..., None], x.shape[:-1])
+    length_b = jnp.broadcast_to(length[..., None], x.shape[:-1])
+    return shift_to(x, start_b, length_b)
+
+
+@jax.jit
 def shift_to(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray) -> AlignedSignal:
     """
     Shift x so original index `start` lands at 0. `start` and `length`
