@@ -234,20 +234,33 @@ def ar_normal_equations(
 
 
 def solve_ar_coefficients(
-    gram: np.ndarray, moment: np.ndarray, ridge_lambda: float = 0.0
+    gram: np.ndarray,
+    moment: np.ndarray,
+    ridge_lambda: float = 0.0,
+    rcond: float = 1e-6,
 ) -> np.ndarray:
     """
     Host-side f64 solve of the normal equations -> AR coefficients with
-    a[0] = 1. Uses lstsq on the Gram for robustness when ridge is 0.
+    a[0] = 1.
+
+    The Gram is accumulated on device in float32, so its entries carry
+    ~1e-7 relative noise regardless of the f64 cast here. Singular
+    directions smaller than `rcond` (default: f32 epsilon scale) relative
+    to the largest are therefore pure accumulation noise — a plain solve
+    or machine-eps lstsq amplifies them into wild, often unstable poles
+    whenever the Gram is ill-conditioned (order >> true modes). Truncating
+    at the data's actual precision recovers the reference's f64
+    design-matrix lstsq answer (zplane.py:117-118) to ~1%; for
+    well-conditioned fits (sv ratio > rcond) it is identical to the exact
+    solve. Applied to the ridge path too: ridge values smaller than the
+    f32 noise floor can't stabilise the solve on their own.
     """
     g = np.asarray(gram, dtype=np.float64)
     m = np.asarray(moment, dtype=np.float64)
     p = g.shape[-1]
     if ridge_lambda and ridge_lambda > 0.0:
         g = g + ridge_lambda * np.eye(p)
-        rest = np.linalg.solve(g, m)
-    else:
-        rest, *_ = np.linalg.lstsq(g, m, rcond=None)
+    rest, *_ = np.linalg.lstsq(g, m, rcond=rcond)
     return np.concatenate(([1.0], rest))
 
 

@@ -344,6 +344,45 @@ def test_ar_normal_equations_match_oracle():
     assert np.max(np.abs(poles)) < 1.0  # stable process -> stable poles
 
 
+def test_ar_solve_is_stable_when_gram_is_ill_conditioned():
+    """
+    rcond regression: an over-ordered fit of a few pure decaying modes
+    makes the Gram's condition number ~1e8, so the device-f32 Gram's
+    ~1e-7 entry noise dominates the smallest singular directions. A solve
+    that trusts those directions (rcond=None / machine eps) turns them
+    into spurious poles OUTSIDE the unit circle; truncating at the data's
+    f32 precision must recover a stable pole set close to the float64
+    design-matrix answer (found via the live reference-parity matrix,
+    tests/parity_matrix.py "damped" input).
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import parity_matrix
+
+    ir = parity_matrix.make_damped_ir()
+    seg = ir[parity_matrix.DAMPED_ONSET :, 0].astype(np.float64)
+    seg = (seg / np.max(np.abs(seg))).astype(np.float32)
+
+    p = 16
+    r = spectral.ar_normal_equations(
+        jnp.asarray(seg[None, :]), jnp.asarray([seg.size], jnp.int32), p
+    )
+    gram, moment = np.asarray(r.gram[0]), np.asarray(r.moment[0])
+    assert np.linalg.cond(gram.astype(np.float64)) > 1e6  # the premise
+
+    a = spectral.solve_ar_coefficients(gram, moment)
+    radii = np.abs(spectral.ar_poles(a))
+    assert np.all(radii < 1.0), f"unstable poles from f32 Gram noise: {radii.max()}"
+
+    # and the dominant dynamics agree with the f64 oracle fit
+    a64 = oracle.fit_ar_least_squares(seg.astype(np.float64), p)
+    radii64 = np.abs(spectral.ar_poles(a64))
+    assert abs(radii.max() - radii64.max()) < 0.02
+    assert abs(np.median(radii) - np.median(radii64)) < 0.05
+
+
 # ----------------------------------------------------------------------------
 # diffusion
 # ----------------------------------------------------------------------------
