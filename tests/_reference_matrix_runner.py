@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--noise-wav", required=True)
     parser.add_argument("--modal-wav", required=True)
     parser.add_argument("--damped-wav", required=True)
+    parser.add_argument("--sweep-wav", required=True)
+    parser.add_argument("--recorded-wav", required=True)
+    parser.add_argument("--deconv-dir", required=True)
     parser.add_argument("--out", required=True)
     args = parser.parse_args()
 
@@ -135,6 +138,20 @@ def main() -> None:
         analyse_fn, summarise_fn = modules[variant["module"]]
         results = analyse_fn(wavs[variant["input"]], parity_matrix.settings_kwargs(variant))
         out[variant["name"]] = summarise_fn(results, **variant.get("summary", {}))
+
+    from analyse import deconvolve  # the REFERENCE module
+
+    deconv_dir = Path(args.deconv_dir)
+    deconv_dir.mkdir(parents=True, exist_ok=True)
+    for variant in parity_matrix.DECONVOLVE_VARIANTS:
+        ir_path = deconv_dir / f"{variant['name']}.wav"
+        deconvolve.deconvolve_from_wav_files(
+            args.recorded_wav,
+            args.sweep_wav,
+            deconvolve.DeconvolveSettings(**variant["settings"]),
+            output_ir_wav_file_path=ir_path,
+        )
+        out[f"deconvolve:{variant['name']}"] = str(ir_path)
 
     Path(args.out).write_text(json.dumps(out))
 

@@ -208,6 +208,52 @@ VARIANTS: List[Dict] = [
 ]
 
 
+# Deconvolution has no text summary — its output artifact IS a float32 IR
+# WAV (reference deconvolve.py:110-116), so parity is asserted at the
+# waveform level. Both tools read the same PCM16 sweep + recorded files
+# and use the same next-pow2 FFT length policy (deconvolve.py:147), so
+# the grids match exactly; the only drift is f32-vs-f64 FFT accumulation.
+DECONVOLVE_VARIANTS: List[Dict] = [
+    dict(name="dc_default", settings={}),
+    dict(name="dc_fullfft_raw",
+         settings={"output_length_mode": "full_fft", "normalise_peak": False,
+                   "remove_dc": False, "regularization_relative": 1e-8}),
+]
+
+SWEEP_N = 48_000
+
+
+def make_sweep() -> np.ndarray:
+    """Deterministic 1 s log sweep 20 Hz - 20 kHz with half-cosine fades,
+    mono float32 (the reference's exact exponential phase formula,
+    gen/signals.py:413-425)."""
+    sr, n = SR, SWEEP_N
+    t = np.arange(n, dtype=np.float64) / sr
+    f0, f1, duration = 20.0, 20000.0, n / sr
+    k = np.log(f1 / f0)
+    phase = 2.0 * np.pi * f0 * duration / k * (np.exp(t / duration * k) - 1.0)
+    x = 0.5 * np.sin(phase)
+    fade = 2048
+    ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+    x[:fade] *= ramp
+    x[-fade:] *= ramp[::-1]
+    return x.astype(np.float32)
+
+
+def make_recorded(ir: np.ndarray) -> np.ndarray:
+    """The sweep played through the golden IR: per-channel f64 FFT
+    convolution, full length, peak-scaled to 0.5. Returns (N, C) f32."""
+    sweep = make_sweep().astype(np.float64)
+    n_out = sweep.size + ir.shape[0] - 1
+    n_fft = 1 << (n_out - 1).bit_length()
+    sw = np.fft.rfft(sweep, n_fft)
+    rec = np.empty((n_out, ir.shape[1]), np.float64)
+    for c in range(ir.shape[1]):
+        rec[:, c] = np.fft.irfft(sw * np.fft.rfft(ir[:, c].astype(np.float64), n_fft), n_fft)[:n_out]
+    rec *= 0.5 / np.max(np.abs(rec))
+    return rec.astype(np.float32)
+
+
 def variant_by_name(name: str) -> Dict:
     for v in VARIANTS:
         if v["name"] == name:

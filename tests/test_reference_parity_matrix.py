@@ -67,6 +67,8 @@ def matrix_wavs(tmp_path_factory):
         ("noise", golden_utils.make_golden_ir()),
         ("modal", parity_matrix.make_modal_ir()),
         ("damped", parity_matrix.make_damped_ir()),
+        ("sweep", parity_matrix.make_sweep()[:, None]),
+        ("recorded", parity_matrix.make_recorded(golden_utils.make_golden_ir())),
     ):
         path = root / f"{key}_ir.wav"
         wavfile.write(str(path), parity_matrix.SR,
@@ -89,6 +91,9 @@ def reference_summaries(matrix_wavs, tmp_path_factory):
          "--noise-wav", matrix_wavs["noise"],
          "--modal-wav", matrix_wavs["modal"],
          "--damped-wav", matrix_wavs["damped"],
+         "--sweep-wav", matrix_wavs["sweep"],
+         "--recorded-wav", matrix_wavs["recorded"],
+         "--deconv-dir", str(out.parent / "deconv"),
          "--out", str(out)],
         check=True, env=env, timeout=900,
     )
@@ -125,3 +130,24 @@ def test_variant_matches_reference(name, matrix_wavs, reference_summaries):
 
     rel, abs_ = variant.get("tol") or TOLERANCES[variant["module"]]
     _compare_texts(name, reference_summaries[name], ours, rel, abs_)
+
+
+@pytest.mark.parametrize("name", [v["name"] for v in parity_matrix.DECONVOLVE_VARIANTS])
+def test_deconvolve_matches_reference(name, matrix_wavs, reference_summaries, tmp_path):
+    """Waveform-level parity: deconvolve has no text summary, so the two
+    tools' float32 IR WAVs are compared sample by sample (same PCM16
+    inputs, same next-pow2 FFT grid — only f32-vs-f64 FFT drift left)."""
+    from audio_analysis_tpu.analyses import deconvolve as dc
+
+    variant = next(v for v in parity_matrix.DECONVOLVE_VARIANTS if v["name"] == name)
+    ours_path = tmp_path / f"{name}_ours.wav"
+    dc.deconvolve_from_wav_files(
+        matrix_wavs["recorded"], matrix_wavs["sweep"],
+        dc.DeconvolveSettings(**variant["settings"]),
+        output_ir_wav_file_path=ours_path,
+    )
+    sr_ref, ref = wavfile.read(reference_summaries[f"deconvolve:{name}"])
+    sr_got, got = wavfile.read(str(ours_path))
+    assert sr_ref == sr_got and ref.shape == got.shape
+    peak = max(np.abs(ref).max(), 1e-12)
+    np.testing.assert_allclose(got, ref, atol=2e-4 * peak)
