@@ -665,7 +665,10 @@ def main() -> None:
     # core that renders) — BENCH_r04 burned ~100 s re-measuring that known
     # loss at 12.8 s/tap every round — so the >0 variant is gated on
     # multi-core and the skip is recorded instead of a misleading row.
-    cores = os.cpu_count() or 1
+    try:
+        cores = len(os.sched_getaffinity(0))  # usable (quota/affinity-aware)
+    except AttributeError:
+        cores = os.cpu_count() or 1
     if cores > 1:
         variant_procs = [0, min(4, cores)]
         plots_variants_note = None

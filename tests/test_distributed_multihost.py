@@ -8,92 +8,34 @@ virtual CPU devices each), runs `analyze_bundle_multi_host` on a shared
     contiguous blocks in device order),
   - per-tap T30s recover the synthetic RT60s,
   - the bundle aggregates are identical on both processes (all-reduced).
+
+The launch/env/drain plumbing lives in tests/_mh_harness.py, shared with
+__graft_entry__.dryrun_multichip's pass-3 DCN certification.
 """
 
 import json
-import os
-import socket
-import subprocess
 import sys
-from pathlib import Path
 
 import numpy as np
 import pytest
 
-REPO_ROOT = Path(__file__).resolve().parents[1]
-WORKER = REPO_ROOT / "tests" / "_mh_worker.py"
+import _mh_harness as mh
 
 TAP_RT60S = [0.15, 0.18, 0.21, 0.24, 0.27, 0.30]
 
 
-def _make_bundle(root: Path) -> None:
-    from audio_analysis_tpu.io.bundle import write_bundle
-
-    sr = 48_000
-    n = 16_384
-    t = np.arange(n) / sr
-    rng = np.random.default_rng(42)
-    taps = {}
-    for i, rt60 in enumerate(TAP_RT60S):
-        env = 10.0 ** (-3.0 * t / rt60)
-        x = np.zeros((n, 2), np.float32)
-        x[64:, :] = (0.05 * rng.standard_normal((n - 64, 2)) * env[: n - 64, None]).astype(
-            np.float32
-        )
-        x[64, :] = 0.9
-        taps[f"tap{i:02d}"] = x
-    write_bundle(root, taps, sr)
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def test_two_process_bundle_analysis(tmp_path):
     bundle = tmp_path / "bundle"
-    _make_bundle(bundle)
+    all_names = mh.make_synthetic_bundle(bundle, TAP_RT60S)
 
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the axon TPU plugin
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = os.pathsep.join(
-        filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)])
-    )
-
-    coordinator = f"127.0.0.1:{_free_port()}"
     out_files = [tmp_path / f"proc{i}.json" for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(WORKER), coordinator, "2", str(i), str(bundle), str(out_files[i])],
-            env=env,
-            cwd=REPO_ROOT,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    # drain both pipes CONCURRENTLY: a sequential communicate() can
-    # deadlock if the other worker fills its 64 KiB stdout pipe before the
-    # collective barrier (verbose jax logs) while this one waits in it
-    import concurrent.futures
-
-    with concurrent.futures.ThreadPoolExecutor(2) as pool:
-        logs = [
-            f.result()[0].decode()
-            for f in [pool.submit(p.communicate, timeout=600) for p in procs]
-        ]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    mh.run_two_process_bundle(bundle, out_files)
 
     results = [json.loads(f.read_text()) for f in out_files]
 
     # 4 global devices, 6 taps -> padded to 8, 2 per device; process 0
     # (devices 0,1) owns taps 0-3, process 1 owns taps 4-5 (pads dropped).
     assert results[0]["num_devices"] == 4 and results[1]["num_devices"] == 4
-    all_names = [f"tap{i:02d}" for i in range(len(TAP_RT60S))]
     assert results[0]["local_tap_names"] == all_names[:4]
     assert results[1]["local_tap_names"] == all_names[4:]
 
@@ -132,46 +74,21 @@ def test_two_process_bundle_cli(tmp_path):
     two CPU processes, per-tap reports written by the owning host, index by
     process 0 only."""
     bundle = tmp_path / "bundle"
-    _make_bundle(bundle)
+    all_names = mh.make_synthetic_bundle(bundle, TAP_RT60S)
 
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the axon TPU plugin
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = os.pathsep.join(
-        filter(None, [env.get("PYTHONPATH", ""), str(REPO_ROOT)])
-    )
-
-    coordinator = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, "-m", "analyse.cli", "bundle",
-                "--input", str(bundle),
-                "--multi-host",
-                "--coordinator", coordinator,
-                "--num-processes", "2",
-                "--process-id", str(i),
-            ],
-            env=env,
-            cwd=REPO_ROOT,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-        )
+    coordinator = mh.free_coordinator()
+    commands = [
+        [
+            sys.executable, "-m", "analyse.cli", "bundle",
+            "--input", str(bundle),
+            "--multi-host",
+            "--coordinator", coordinator,
+            "--num-processes", "2",
+            "--process-id", str(i),
+        ]
         for i in range(2)
     ]
-    # drain both pipes CONCURRENTLY: a sequential communicate() can
-    # deadlock if the other worker fills its 64 KiB stdout pipe before the
-    # collective barrier (verbose jax logs) while this one waits in it
-    import concurrent.futures
-
-    with concurrent.futures.ThreadPoolExecutor(2) as pool:
-        logs = [
-            f.result()[0].decode()
-            for f in [pool.submit(p.communicate, timeout=600) for p in procs]
-        ]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"CLI worker failed:\n{log[-4000:]}"
+    logs = mh.run_processes(commands, mh.cpu_multihost_env(), what="CLI worker")
 
     # only process 0 printed the index line
     wrote = [log for log in logs if "Wrote bundle report index:" in log]
@@ -179,7 +96,6 @@ def test_two_process_bundle_cli(tmp_path):
 
     index_md = (bundle / "reports" / "bundle_report.md").read_text()
     assert "multi-host" in index_md
-    all_names = [f"tap{i:02d}" for i in range(len(TAP_RT60S))]
     for name in all_names:
         tap_md = (bundle / "reports" / name / f"{name}_report.md").read_text()
         assert "## Decay / EDC" in tap_md

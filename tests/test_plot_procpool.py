@@ -91,9 +91,15 @@ def test_process_pool_wins_on_multicore(tmp_path):
 
     import pytest
 
-    cores = os.cpu_count() or 1
+    # affinity-aware: a cgroup quota / taskset can pin this process to
+    # fewer cores than os.cpu_count() reports, and the race is only fair
+    # on cores we can actually use
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cores = os.cpu_count() or 1
     if cores < 3:
-        pytest.skip(f"needs >=3 cores for a fair pool-vs-thread race (have {cores})")
+        pytest.skip(f"needs >=3 usable cores for a fair pool-vs-thread race (have {cores})")
 
     from audio_analysis_tpu.parallel.overlap import MaybePlotWorker
     from audio_analysis_tpu.parallel.procpool import ProcessPlotPool
