@@ -194,10 +194,15 @@ VARIANTS: List[Dict] = [
     dict(name="zp_order16", module="zplane", input="damped",
          settings={"ar_order": 16},
          tol=(2e-2, 5e-3)),
+    # Looser tol: at order 32 (10 true poles) the summary's median radius
+    # sits among the 22 NOISE poles, whose radii move ~3% between the
+    # reference's f64 fit and the real-TPU f32 Gram (chip-measured; the
+    # dominant pole agrees to 0.02%). 8e-2 still fails an unstable-count
+    # flip (integer step 1 >> 0.08).
     dict(name="zp_order32_ridge_zeros", module="zplane", input="damped",
          settings={"ar_order": 32, "ridge_lambda": 1e-5,
                    "derive_zeros": True, "zero_order": 16},
-         tol=(2e-2, 5e-3)),
+         tol=(8e-2, 5e-3)),
     # --- filter response (reference filterplot.py:43-74)
     dict(name="fp_radians_no_unwrap", module="filterplot", input="noise",
          settings={"phase_mode": "radians", "unwrap_phase": False}),
