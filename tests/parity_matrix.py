@@ -30,7 +30,7 @@ variant's kwargs construct the settings dataclass in either tree.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
