@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_analysis_tpu.ops import (
+    common,
     dbfit,
     diffusion as dops,
     edc,
@@ -211,7 +212,7 @@ def _edc(samples: jnp.ndarray, length: jnp.ndarray, config: "EngineConfig") -> e
     if (
         config.use_pallas_edc
         and pallas_kernels.supports(samples.shape[-1])
-        and jax.default_backend() == "tpu"
+        and common.compute_platform() == "tpu"
     ):
         edc_db = pallas_kernels.schroeder_edc_db_pallas(
             samples, length, eps=config.edc_epsilon, floor_db=config.edc_floor_db

@@ -170,7 +170,9 @@ def schroeder_edc_db_auto(
     from audio_analysis_tpu.ops import edc as edc_mod
 
     n = samples.shape[-1]
-    if supports(n) and jax.default_backend() == "tpu":
+    from audio_analysis_tpu.ops.common import compute_platform
+
+    if supports(n) and compute_platform() == "tpu":
         return schroeder_edc_db_pallas(samples, length, eps=eps, floor_db=floor_db)
     return edc_mod.schroeder_edc_db(
         samples, length, edc_epsilon=eps, edc_floor_db=floor_db

@@ -114,7 +114,9 @@ def _linear_magnitude(
     if fft_impl == "pallas":
         from audio_analysis_tpu.ops import pallas_stft
 
-        if pallas_stft.supports(n_fft, hop) and jax.default_backend() == "tpu":
+        from audio_analysis_tpu.ops.common import compute_platform
+
+        if pallas_stft.supports(n_fft, hop) and compute_platform() == "tpu":
             mag = pallas_stft.stft_magnitude_pallas(x, n_fft, hop, use_hann_window)
             return mag if k_out is None else mag[..., :k_out]
         fft_impl = "mx"

@@ -377,3 +377,18 @@ def test_bench_device_probe_paths():
         probe_src="import time; time.sleep(60)",
     )
     assert not hung and time.monotonic() - t0 < 30
+
+
+def test_compute_platform_honours_default_device_context():
+    """Regression for the Pallas-on-CPU lowering failure: kernel-selection
+    gates must see the platform of the ACTIVE default device, not the
+    process default backend (ops/common.compute_platform). On a
+    TPU-default process the full suite's test_mxfft engine test exercises
+    the real trap; this pins the context behaviour everywhere."""
+    import jax
+
+    from audio_analysis_tpu.ops.common import compute_platform
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        assert compute_platform() == "cpu"
