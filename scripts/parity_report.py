@@ -71,6 +71,7 @@ def main() -> None:
             ("noise", golden_utils.make_golden_ir()),
             ("modal", parity_matrix.make_modal_ir()),
             ("damped", parity_matrix.make_damped_ir()),
+            ("oddmono", parity_matrix.make_oddmono_ir()),
             ("sweep", parity_matrix.make_sweep()[:, None]),
             ("recorded", parity_matrix.make_recorded(golden_utils.make_golden_ir())),
         ):
@@ -86,7 +87,8 @@ def main() -> None:
             [sys.executable, str(REPO / "tests" / "_reference_matrix_runner.py"),
              "--reference", args.reference,
              "--noise-wav", wavs["noise"], "--modal-wav", wavs["modal"],
-             "--damped-wav", wavs["damped"], "--sweep-wav", wavs["sweep"],
+             "--damped-wav", wavs["damped"], "--oddmono-wav", wavs["oddmono"],
+             "--sweep-wav", wavs["sweep"],
              "--recorded-wav", wavs["recorded"],
              "--deconv-dir", str(tmp / "deconv"), "--out", str(out_json)],
             check=True, env=env, timeout=900,

@@ -27,6 +27,7 @@ def main() -> None:
     parser.add_argument("--noise-wav", required=True)
     parser.add_argument("--modal-wav", required=True)
     parser.add_argument("--damped-wav", required=True)
+    parser.add_argument("--oddmono-wav", required=True)
     parser.add_argument("--sweep-wav", required=True)
     parser.add_argument("--recorded-wav", required=True)
     parser.add_argument("--deconv-dir", required=True)
@@ -54,7 +55,8 @@ def main() -> None:
         zplane,
     )
 
-    wavs = {"noise": args.noise_wav, "modal": args.modal_wav, "damped": args.damped_wav}
+    wavs = {"noise": args.noise_wav, "modal": args.modal_wav,
+            "damped": args.damped_wav, "oddmono": args.oddmono_wav}
 
     def run_group_delay(path: str, settings_kwargs: dict) -> list:
         # The reference has no plot-free analysis entry for group delay —

@@ -87,6 +87,42 @@ def make_damped_ir() -> np.ndarray:
     return np.clip(ir, -1.0, 1.0).astype(np.float32)
 
 
+ODDMONO_N = 50_000
+ODDMONO_ONSET = 24_999
+
+
+def make_oddmono_ir() -> np.ndarray:
+    """Deterministic MONO IR at a deliberately awkward length.
+
+    50_000 samples is not a power of two and not a multiple of any STFT
+    hop, and the single channel exercises the mono I/O policy — this
+    input pins the pad-to-bucket + validity-mask machinery (the
+    framework's core jit trick) against the reference's exact-length
+    slicing, at DEFAULT settings across every module. Smooth modal
+    content (like make_modal_ir) so every fit is stable; RT60s <= 0.35 s
+    so the tail fully decays in the 0.52 s after the onset; and the
+    onset sits MID-buffer (sample 24_999) so the band-split comparison
+    is meaningful: with an onset near the start, the reference's
+    exact-length circular FFT masking wraps the direct sound's
+    anti-causal filter ringing to the buffer END (its Low-band EDC
+    plateaus at -27 dB and the T30 fit reads ~20x long), while our
+    padded-bucket filtering wraps it into the trimmed padding —
+    measured, and documented as an intentional divergence in
+    docs/MIGRATION.md. Mid-buffer onsets give both tools wrap-free
+    tails. Returns (N, 1).
+    """
+    n, sr = ODDMONO_N, SR
+    t = np.arange(n - ODDMONO_ONSET, dtype=np.float64) / sr
+    ir = np.zeros(n, np.float64)
+    for k in range(13):
+        f = 180.0 * 2.0 ** (k / 2.0)  # half-octave spacing, 180 Hz - 11.5 kHz
+        rt60 = 0.35 * (0.15 / 0.35) ** (k / 12.0)
+        env = 10.0 ** (-3.0 * t / rt60)
+        ir[ODDMONO_ONSET:] += 0.09 * np.sin(2 * np.pi * f * t + 0.4 * k) * env
+    ir[ODDMONO_ONSET] += 0.9
+    return np.clip(ir, -1.0, 1.0).astype(np.float32)[:, None]
+
+
 _TUPLE_FIELDS = {"t20_range_db", "t30_range_db", "edt_range_db"}
 
 
@@ -187,6 +223,26 @@ VARIANTS: List[Dict] = [
          settings={"smoothing_bins": 33}),
     dict(name="gd_fixed_fft_no_hann", module="group_delay", input="noise",
          settings={"fft_size": 131072, "use_hann_window": False}),
+    # --- odd-length MONO input, default settings across the board: pins
+    # the pad-to-bucket + validity-mask machinery against the reference's
+    # exact-length slicing (see make_oddmono_ir)
+    dict(name="odd_decay", module="decay", input="oddmono", settings={}),
+    dict(name="odd_rt60_three", module="rt60bands", input="oddmono", settings={},
+         summary={"include_t20": False, "include_edt": False},
+         tol=(2e-3, 5e-3)),
+    dict(name="odd_fr", module="frequency_response", input="oddmono", settings={}),
+    dict(name="odd_spectrogram", module="spectrogram", input="oddmono", settings={}),
+    dict(name="odd_waterfall", module="waterfall", input="oddmono", settings={}),
+    dict(name="odd_modalcloud", module="modalcloud", input="oddmono", settings={}),
+    dict(name="odd_diffusion", module="diffusion", input="oddmono", settings={}),
+    # exact_grid: at this odd length the tools' default FFT grids differ
+    # (reference next-pow2 32768 vs our 65536 bucket), and group delay on
+    # modal content oscillates bin to bin, so equal-weight percentiles
+    # are grid-sensitive (same class as fr_smoothed). The exact-grid path
+    # still pins the odd-length trim/segment math at printed precision.
+    dict(name="odd_group_delay", module="group_delay", input="oddmono", settings={},
+         ours_extra={"exact_grid": True},
+         tol=(1e-4, 0.0051)),
     # --- z-plane AR fit (reference zplane.py:45-63). Damped input: see
     # make_damped_ir. Our Gram is f32 on device (rcond-truncated f64
     # solve on host) vs the reference's f64 design-matrix lstsq, so pole

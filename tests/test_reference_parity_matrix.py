@@ -67,6 +67,7 @@ def matrix_wavs(tmp_path_factory):
         ("noise", golden_utils.make_golden_ir()),
         ("modal", parity_matrix.make_modal_ir()),
         ("damped", parity_matrix.make_damped_ir()),
+        ("oddmono", parity_matrix.make_oddmono_ir()),
         ("sweep", parity_matrix.make_sweep()[:, None]),
         ("recorded", parity_matrix.make_recorded(golden_utils.make_golden_ir())),
     ):
@@ -91,6 +92,7 @@ def reference_summaries(matrix_wavs, tmp_path_factory):
          "--noise-wav", matrix_wavs["noise"],
          "--modal-wav", matrix_wavs["modal"],
          "--damped-wav", matrix_wavs["damped"],
+         "--oddmono-wav", matrix_wavs["oddmono"],
          "--sweep-wav", matrix_wavs["sweep"],
          "--recorded-wav", matrix_wavs["recorded"],
          "--deconv-dir", str(out.parent / "deconv"),
